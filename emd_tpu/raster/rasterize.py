@@ -1,0 +1,84 @@
+"""Public rasterization API: the L3 -> L2 contract of the framework.
+
+Mirrors the call surface the reference trainers consume from gsplat
+(`rasterization(means, quats, scales, opacities, colors, viewmats, Ks, W, H)
+-> (renders RGB+ED, alphas, info)` at OmniRe/models/trainers/base.py:393-408)
+and diff_gauss (S3Gaussian/gaussian_renderer/__init__.py:145-155), but
+TPU-native: projection + SH are fused jnp (XLA), binning is XLA sort, and
+compositing is the Pallas kernel pair in `composite_pallas`.
+
+Densification stats: the info dict of gsplat carries screen-space mean
+gradients (`means2d` with retained grad, base.py:430). Functionally in JAX,
+pass `means2d_offset` (zeros, shape (N, 2)) and include it in the pytree you
+differentiate — its gradient IS dL/d(means2d), used by the densification
+controller exactly like the reference's `info["means2d"].grad`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from .binning import Binning, bin_gaussians, num_tiles
+from .composite_pallas import (
+    TILE,
+    composite_tiles,
+    pack_instances,
+    tiles_to_image,
+)
+from .projection import Projected, project_gaussians
+
+CHUNK = 128
+
+
+class RasterOut(NamedTuple):
+    rgb: jax.Array        # (H, W, 3)
+    depth: jax.Array      # (H, W) accumulated expected depth
+    alpha: jax.Array      # (H, W)
+    proj: Projected       # per-gaussian screen quantities (radii for ctrl)
+    binning: Binning      # instance layout (num_instances, overflow)
+
+
+def rasterize(
+    means: jax.Array,        # (N, 3) world
+    quats: jax.Array,        # (N, 4) wxyz
+    scales: jax.Array,       # (N, 3) linear
+    opacities: jax.Array,    # (N,)  in [0, 1]
+    colors: jax.Array,       # (N, 3) per-gaussian RGB (SH already evaluated)
+    cam: Camera,
+    budget: int,
+    antialiased: bool = False,
+    means2d_offset: jax.Array | None = None,
+    interpret: bool = False,
+) -> RasterOut:
+    """Differentiable 3DGS render of one camera. `budget` is the static
+    (gaussian, tile) instance capacity — re-trace with a bigger one if
+    `out.binning.overflow`."""
+    n = means.shape[0]
+    proj = project_gaussians(
+        means, quats, scales, cam.viewmat, cam.K, cam.width, cam.height,
+        antialiased=antialiased,
+    )
+    binning = bin_gaussians(
+        proj.means2d, proj.radii, proj.depths,
+        cam.width, cam.height, TILE, budget, chunk=CHUNK,
+    )
+    means2d = proj.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    packed = pack_instances(
+        means2d, proj.conics, colors,
+        opacities * proj.compensation, proj.depths,
+    )
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0)
+    inst = jnp.take(packed, binning.gid, axis=0)
+
+    ntx, nty = num_tiles(cam.width, cam.height, TILE)
+    tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret)
+    rgb, depth, alpha = tiles_to_image(tiles, ntx, nty, cam.width, cam.height)
+    return RasterOut(rgb=rgb, depth=depth, alpha=alpha, proj=proj,
+                     binning=binning)

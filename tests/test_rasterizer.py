@@ -1,0 +1,158 @@
+"""Gate the production tile rasterizer against the dense oracle:
+images AND gradients (SURVEY.md §4 items (a)+(b); the reference's de-facto
+oracle strategy is "pure-python path vs CUDA path").
+
+Runs the Pallas kernels in interpret mode on CPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emd_tpu.core import Camera, look_at, make_camera, random_quats
+from emd_tpu.raster import (
+    TILE,
+    bin_gaussians,
+    num_tiles,
+    rasterize,
+    render_oracle,
+)
+from emd_tpu.raster.oracle import composite_dense
+from emd_tpu.raster.projection import project_gaussians
+
+
+def random_scene(key, n, spread=2.0, z0=4.0, zspread=3.0):
+    ks = jax.random.split(key, 6)
+    means = jnp.concatenate([
+        jax.random.uniform(ks[0], (n, 2), minval=-spread, maxval=spread),
+        jax.random.uniform(ks[1], (n, 1), minval=z0, maxval=z0 + zspread),
+    ], axis=-1)
+    quats = random_quats(ks[2], n)
+    scales = jnp.exp(jax.random.uniform(ks[3], (n, 3),
+                                        minval=-3.0, maxval=-1.5))
+    opacities = jax.random.uniform(ks[4], (n,), minval=0.2, maxval=0.95)
+    colors = jax.random.uniform(ks[5], (n, 3))
+    return means, quats, scales, opacities, colors
+
+
+def small_cam(width=96, height=64):
+    return make_camera(80.0, 80.0, width / 2, height / 2, jnp.eye(4),
+                       width, height)
+
+
+def test_rasterize_matches_oracle_forward():
+    cam = small_cam()
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(0),
+                                                      200)
+    oracle, proj = render_oracle(means, quats, scales, opac, colors, cam,
+                                 tile_size=TILE)
+    out = rasterize(means, quats, scales, opac, colors, cam,
+                    budget=4096, interpret=True)
+    assert not bool(out.binning.overflow)
+    np.testing.assert_allclose(out.rgb, oracle.rgb, atol=2e-5)
+    np.testing.assert_allclose(out.alpha, oracle.alpha, atol=2e-5)
+    np.testing.assert_allclose(out.depth, oracle.depth, atol=2e-4)
+
+
+def test_rasterize_matches_oracle_grads():
+    cam = small_cam(64, 64)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(1),
+                                                      100)
+    key = jax.random.PRNGKey(2)
+    wr = jax.random.normal(key, (64, 64, 3))
+    wd = jax.random.normal(jax.random.PRNGKey(3), (64, 64))
+    wa = jax.random.normal(jax.random.PRNGKey(4), (64, 64))
+
+    def loss_oracle(params):
+        m, q, s, o, c = params
+        out, _ = render_oracle(m, q, s, o, c, cam, tile_size=TILE)
+        return (jnp.sum(out.rgb * wr) + jnp.sum(out.depth * wd)
+                + jnp.sum(out.alpha * wa))
+
+    def loss_tiles(params):
+        m, q, s, o, c = params
+        out = rasterize(m, q, s, o, c, cam, budget=4096, interpret=True)
+        return (jnp.sum(out.rgb * wr) + jnp.sum(out.depth * wd)
+                + jnp.sum(out.alpha * wa))
+
+    params = (means, quats, scales, opac, colors)
+    v0, g0 = jax.value_and_grad(loss_oracle)(params)
+    v1, g1 = jax.value_and_grad(loss_tiles)(params)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    names = ["means", "quats", "scales", "opacities", "colors"]
+    for name, a, b in zip(names, g0, g1):
+        scale = np.maximum(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, atol=2e-3 * scale, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_means2d_offset_gradient():
+    """The densification-stat path: grad wrt the zero screen-space offset
+    equals the reference's info["means2d"].grad (base.py:430)."""
+    cam = small_cam(64, 64)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(5),
+                                                      50)
+
+    def loss(off):
+        out = rasterize(means, quats, scales, opac, colors, cam,
+                        budget=2048, means2d_offset=off, interpret=True)
+        return jnp.sum(out.rgb ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((50, 2)))
+    assert jnp.all(jnp.isfinite(g))
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_empty_scene():
+    cam = small_cam(64, 32)
+    n = 8
+    means = jnp.full((n, 3), -100.0)  # all behind/outside
+    out = rasterize(means, random_quats(jax.random.PRNGKey(0), n),
+                    jnp.full((n, 3), 0.01), jnp.ones((n,)) * 0.5,
+                    jnp.ones((n, 3)), cam, budget=256, interpret=True)
+    np.testing.assert_allclose(out.rgb, 0.0, atol=1e-7)
+    np.testing.assert_allclose(out.alpha, 0.0, atol=1e-7)
+
+
+def test_binning_counts():
+    cam = small_cam(96, 64)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(7),
+                                                      64)
+    proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K,
+                             cam.width, cam.height)
+    b = bin_gaussians(proj.means2d, proj.radii, proj.depths, cam.width,
+                      cam.height, TILE, budget=4096)
+    ntx, nty = num_tiles(cam.width, cam.height, TILE)
+    offs = np.asarray(b.tile_offsets)
+    assert offs.shape == (ntx * nty + 1,)
+    assert np.all(np.diff(offs) >= 0)
+    assert np.all(np.diff(offs) % 128 == 0)
+    gid = np.asarray(b.gid)
+    n_real = int((gid < 64).sum())
+    assert n_real == int(b.num_instances)
+    # every real instance lies inside some tile segment
+    for t in range(ntx * nty):
+        seg = gid[offs[t]:offs[t + 1]]
+        # real entries are depth-sorted within the segment
+        real = seg[seg < 64]
+        d = np.asarray(proj.depths)[real]
+        assert np.all(np.diff(d) >= 0)
+
+
+def test_opaque_overdraw_saturates():
+    """Many stacked opaque gaussians: alpha ~ 1, color ~ front gaussian."""
+    cam = small_cam(TILE, TILE)
+    n = 32
+    z = jnp.linspace(2.0, 6.0, n)
+    means = jnp.stack([jnp.zeros(n), jnp.zeros(n), z], axis=-1)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    scales = jnp.full((n, 3), 0.5)
+    opac = jnp.full((n,), 0.95)
+    colors = jnp.zeros((n, 3)).at[0, 0].set(1.0)  # front gaussian is red
+    out = rasterize(means, quats, scales, opac, colors, cam,
+                    budget=2048, interpret=True)
+    cx, cy = TILE // 2, TILE // 2
+    assert float(out.alpha[cy, cx]) > 0.999
+    assert float(out.rgb[cy, cx, 0]) > 0.9
+    assert float(out.rgb[cy, cx, 1]) < 0.05
