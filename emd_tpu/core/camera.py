@@ -8,24 +8,30 @@ and the whole thing is vmap/shard-friendly.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 
 
-class Camera(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
     """One (or a batch of) pinhole camera(s).
 
     K:        (..., 3, 3) intrinsics (fx 0 cx / 0 fy cy / 0 0 1), in pixels.
     viewmat:  (..., 4, 4) world-to-camera (OpenCV convention: +z forward,
               +x right, +y down) — same as both reference rasterizers.
-    width/height: static python ints (image size fixed per jit trace).
+    width/height: static metadata (image size fixed per jit trace — XLA
+    static shapes), hence registered as pytree aux data, not leaves.
     """
     K: jax.Array
     viewmat: jax.Array
-    width: int
-    height: int
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def camtoworld(self) -> jax.Array:

@@ -79,5 +79,6 @@ def eval_sh(sh_coeffs: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
     Output has the rasterizer's +0.5 shift applied and is clamped at 0."""
     n = num_sh_bases(degree)
     basis = sh_basis(dirs, degree)  # (..., n)
-    rgb = jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :n, :])
+    rgb = jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :n, :],
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(rgb + 0.5, 0.0)

@@ -1,0 +1,148 @@
+"""Multi-device training step: shard_map over a ("data", "gauss") mesh.
+
+Manual-SPMD (shard_map) rather than GSPMD auto-partitioning: inside the
+mapped function everything is single-device code, so the Pallas compositor
+runs locally per device and the collectives are explicit and auditable:
+
+  per device: activate + SH + project LOCAL gaussian shard for its camera
+  -> all_gather(projected soup, axis="gauss")      [ICI, O(N_local * world)]
+  -> bin + composite the full soup for the LOCAL camera
+  -> loss; grads flow back: the all_gather transposes to a
+     reduce-scatter of duplicated-gaussian gradients (automatic in
+     shard_map AD), and the "data"-replication of the parameter shard
+     transposes to a psum over cameras.
+
+This realizes BASELINE.md's "reduce-scatter duplicated-Gaussian gradients"
+design point with zero hand-written collective code in the backward.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.camera import Camera
+from ..core.sh import eval_sh
+from ..raster.binning import bin_gaussians, num_tiles
+from ..raster.composite_pallas import (
+    TILE,
+    composite_tiles,
+    pack_instances,
+    tiles_to_image,
+)
+from ..raster.projection import project_gaussians
+from ..scene.gaussians import GaussianParams, activate
+from ..train import losses
+from ..train.optim import AdamState, adam_update
+from ..train.trainer import TrainConfig, lr_tree
+
+
+def default_interpret() -> bool:
+    """Pallas interpret mode on CPU backends (tests / dryrun)."""
+    return jax.default_backend() == "cpu"
+
+
+class ShardedBatch(NamedTuple):
+    """B stacked cameras + target images, B = data-axis size."""
+    K: jax.Array        # (B, 3, 3)
+    viewmat: jax.Array  # (B, 4, 4)
+    rgb: jax.Array      # (B, H, W, 3)
+
+
+def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
+                      interpret: bool | None = None):
+    """Returns loss_fn(params, alive, batch) -> scalar, differentiable,
+    with params sharded P("gauss") and batch sharded P("data")."""
+    if interpret is None:
+        interpret = default_interpret()
+    ntx, nty = num_tiles(width, height, TILE)
+
+    def local_loss(params, alive, batch):
+        # local shapes: params (N/g, ...), batch leaves (1, ...)
+        act = activate(params, alive)
+        cam = Camera(K=batch.K[0], viewmat=batch.viewmat[0],
+                     width=width, height=height)
+        dirs = act.means - cam.position
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        max_degree = int(round(act.shs.shape[1] ** 0.5)) - 1
+        colors = eval_sh(act.shs, dirs, degree=max_degree)
+
+        proj = project_gaussians(act.means, act.quats, act.scales,
+                                 cam.viewmat, cam.K, width, height,
+                                 antialiased=cfg.antialiased)
+        opac = act.opacities * proj.compensation
+
+        # gather the full projected soup along the gaussian axis; the
+        # reverse of these gathers is the duplicated-gaussian grad
+        # reduce-scatter.
+        def ag(x):
+            return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
+
+        means2d = ag(proj.means2d)
+        conics = ag(proj.conics)
+        colors_g = ag(colors)
+        opac_g = ag(opac)
+        depths = ag(proj.depths)
+        radii = ag(proj.radii)
+
+        binning = bin_gaussians(means2d, radii, depths, width, height,
+                                TILE, cfg.budget)
+        packed = pack_instances(means2d, conics, colors_g, opac_g, depths)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
+        inst = jnp.take(packed, binning.gid, axis=1)
+        tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
+                                interpret)
+        rgb, depth, alpha = tiles_to_image(tiles, ntx, nty, width, height)
+
+        loss = (cfg.w_rgb * losses.l1(rgb, batch.rgb[0])
+                + cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb[0]))
+        # mean over the camera batch; replicated across "gauss" already
+        return jax.lax.pmean(loss, "data")
+
+    # check_vma=False: pallas_call does not yet declare varying-axis info,
+    # so automatic replication checking cannot see through it. Gradient
+    # correctness (psum over "data" for the replicated param shard,
+    # reduce-scatter transpose of the all_gathers) is covered by
+    # tests/test_dist.py::test_sharded_grads_match_single_device.
+    return jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P("gauss"), P("gauss"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: TrainConfig, width: int,
+                            height: int, scene_scale: float = 1.0,
+                            interpret: bool | None = None):
+    """Jitted multi-device train step: returns (params, opt, loss)."""
+    loss_fn = make_sharded_loss(mesh, cfg, width, height, interpret)
+
+    gauss_sharding = NamedSharding(mesh, P("gauss"))
+    data_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    # AdamState.step is a scalar — replicated; moments follow the params.
+    opt_sharding = AdamState(mu=gauss_sharding, nu=gauss_sharding, step=rep)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(gauss_sharding, (opt_sharding, gauss_sharding),
+                      jax.tree.map(lambda _: data_sharding,
+                                   ShardedBatch(0, 0, 0)),
+                      None),
+        out_shardings=(gauss_sharding, (opt_sharding, gauss_sharding), None),
+    )
+    def step(params: GaussianParams, opt_and_alive, batch: ShardedBatch,
+             stepno: jax.Array):
+        opt, alive = opt_and_alive
+        loss, grads = jax.value_and_grad(loss_fn)(params, alive, batch)
+        lrs = lr_tree(cfg, stepno, scene_scale)
+        new_params, new_opt = adam_update(grads, opt, params, lrs)
+        return new_params, (new_opt, alive), loss
+
+    return step

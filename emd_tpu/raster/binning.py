@@ -80,9 +80,13 @@ def bin_gaussians(
     total = offsets[-1]
     overflow = total > budget
 
-    # Each slot pulls its gaussian: g = #offsets <= j  (searchsorted right).
+    # Each slot pulls its gaussian: g_j = #{i : offsets_i <= j}. Computed as
+    # a scatter-add histogram + cumsum instead of searchsorted — O(N + M)
+    # with one pass, vs log(N) full-size gather rounds.
     slots = jnp.arange(budget, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
+    hist = jnp.zeros((budget + 1,), jnp.int32).at[
+        jnp.minimum(offsets, budget)].add(1)
+    g = jnp.cumsum(hist[:budget]).astype(jnp.int32)
     in_range = slots < total
     g_safe = jnp.where(in_range, g, 0)
     start = jnp.where(g_safe > 0, offsets[jnp.maximum(g_safe - 1, 0)], 0)

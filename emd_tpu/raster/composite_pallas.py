@@ -49,17 +49,21 @@ ALPHA_MAX = 0.99
 
 
 def pack_instances(means2d, conics, colors, opacities, depths) -> jax.Array:
-    """Per-gaussian attributes (N, ...) -> packed (N, 16) f32 rows."""
+    """Per-gaussian attributes (N, ...) -> packed fields-major (16, N) f32.
+
+    Fields-major so the kernels' per-chunk DMA slices run along the (lane)
+    instance axis in 128-aligned pieces — Mosaic requires lane-aligned
+    slicing, and chunk-aligned segments guarantee it."""
     n = means2d.shape[0]
-    z = jnp.zeros((n, 6), jnp.float32)
+    z = jnp.zeros((6, n), jnp.float32)
     return jnp.concatenate([
-        means2d.astype(jnp.float32),
-        conics.astype(jnp.float32),
-        colors.astype(jnp.float32),
-        opacities.astype(jnp.float32)[:, None],
-        depths.astype(jnp.float32)[:, None],
+        means2d.astype(jnp.float32).T,
+        conics.astype(jnp.float32).T,
+        colors.astype(jnp.float32).T,
+        opacities.astype(jnp.float32)[None, :],
+        depths.astype(jnp.float32)[None, :],
         z,
-    ], axis=-1)
+    ], axis=0)
 
 
 def _tri(c: int, strict_lower: bool) -> jax.Array:
@@ -114,17 +118,21 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
     def body(c, carry):
         s, rgb, dep = carry
         cp = pltpu.make_async_copy(
-            inst_ref.at[pl.ds(start + c * chunk, chunk)], buf, sem)
+            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                 chunk)], buf, sem)
         cp.start()
         cp.wait()
-        terms = _alpha_terms(buf[:], px, py)
+        terms = _alpha_terms(buf[:].T, px, py)
         logom = terms["logom"]
-        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32)
+        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         w = terms["alpha"] * jnp.exp(s + cum_ex)          # (C, NPX)
         rgb = rgb + jnp.dot(terms["colors"].T, w,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dep = dep + jnp.dot(terms["depth"].T, w,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         s = s + jnp.sum(logom, axis=0, keepdims=True)
         return s, rgb, dep
 
@@ -159,10 +167,11 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
     # sweep 1: total log-transmittance
     def sum_body(c, acc):
         cp = pltpu.make_async_copy(
-            inst_ref.at[pl.ds(start + c * chunk, chunk)], buf, sem)
+            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                 chunk)], buf, sem)
         cp.start()
         cp.wait()
-        terms = _alpha_terms(buf[:], px, py)
+        terms = _alpha_terms(buf[:].T, px, py)
         return acc + jnp.sum(terms["logom"], axis=0, keepdims=True)
 
     l_total = jax.lax.fori_loop(
@@ -174,22 +183,25 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
         s_end, b = carry
         c = nchunks - 1 - k
         cp = pltpu.make_async_copy(
-            inst_ref.at[pl.ds(start + c * chunk, chunk)], buf, sem)
+            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                 chunk)], buf, sem)
         cp.start()
         cp.wait()
-        data = buf[:]
-        terms = _alpha_terms(data, px, py)
+        terms = _alpha_terms(buf[:].T, px, py)
         alpha = terms["alpha"]
         logom = terms["logom"]
         s_start = s_end - jnp.sum(logom, axis=0, keepdims=True)
-        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32)
+        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         t_g = jnp.exp(s_start + cum_ex)                    # (C, NPX)
         w = alpha * t_g
         wbar = jnp.dot(terms["colors"], grgb,
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) \
             + terms["depth"] * gdep                         # (C, NPX)
         ww = w * wbar
-        r = b + jnp.dot(utri, ww, preferred_element_type=jnp.float32)
+        r = b + jnp.dot(utri, ww, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         abar = t_g * wbar - r / (1.0 - alpha)
         abar = jnp.where(terms["live"], abar, 0.0)
         common = abar * terms["opa"] * terms["g"]
@@ -199,18 +211,23 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
         def rsum(x):
             return jnp.sum(x, axis=1, keepdims=True)        # (C, 1)
 
-        gbuf[:, 0:1] = rsum(common * (ca * dx + cb * dy))   # d mean_x
-        gbuf[:, 1:2] = rsum(common * (cb * dx + cc * dy))   # d mean_y
-        gbuf[:, 2:3] = rsum(common * (-0.5 * dx * dx))      # d conic_a
-        gbuf[:, 3:4] = rsum(common * (-dx * dy))            # d conic_b
-        gbuf[:, 4:5] = rsum(common * (-0.5 * dy * dy))      # d conic_c
-        gbuf[:, 5:8] = jnp.dot(w, grgb.T,
-                               preferred_element_type=jnp.float32)
-        gbuf[:, 8:9] = rsum(terms["g"] * abar)              # d opacity
-        gbuf[:, 9:10] = rsum(w * gdep)                      # d depth
-        gbuf[:, 10:16] = jnp.zeros((chunk, 6), jnp.float32)
+        gmat = jnp.concatenate([
+            rsum(common * (ca * dx + cb * dy)),              # d mean_x
+            rsum(common * (cb * dx + cc * dy)),              # d mean_y
+            rsum(common * (-0.5 * dx * dx)),                 # d conic_a
+            rsum(common * (-dx * dy)),                       # d conic_b
+            rsum(common * (-0.5 * dy * dy)),                 # d conic_c
+            jnp.dot(w, grgb.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST),
+            rsum(terms["g"] * abar),                         # d opacity
+            rsum(w * gdep),                                  # d depth
+            jnp.zeros((chunk, 6), jnp.float32),
+        ], axis=1)                                           # (C, 16)
+        gbuf[:] = gmat.T
         wcp = pltpu.make_async_copy(
-            gbuf, dinst_ref.at[pl.ds(start + c * chunk, chunk)], wsem)
+            gbuf,
+            dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                  chunk)], wsem)
         wcp.start()
         wcp.wait()
         b = b + jnp.sum(ww, axis=0, keepdims=True)
@@ -245,7 +262,7 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
         out_specs=pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, FEAT), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -278,8 +295,8 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((chunk, FEAT), jnp.float32),
-            pltpu.VMEM((chunk, FEAT), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
+            pltpu.VMEM((FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -293,8 +310,8 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
     # Segments the kernel never touched (instance-budget parking region)
     # contain garbage; they belong to the dummy gaussian, but scrub anyway
     # so NaNs can't leak through the gather-VJP's scatter-add.
-    written = jnp.arange(inst_data.shape[0], dtype=jnp.int32) < tile_offsets[-1]
-    dinst = jnp.where(written[:, None], dinst_raw, 0.0)
+    written = jnp.arange(inst_data.shape[1], dtype=jnp.int32) < tile_offsets[-1]
+    dinst = jnp.where(written[None, :], dinst_raw, 0.0)
     return dinst, None
 
 

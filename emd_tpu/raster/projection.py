@@ -50,7 +50,8 @@ def quat_scale_to_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """(N,4) wxyz + (N,3) linear scales -> (N,3,3) covariance."""
     R = quat_to_rotmat(quats)
     M = R * scales[..., None, :]  # R @ diag(s)
-    return M @ M.swapaxes(-1, -2)
+    return jnp.matmul(M, M.swapaxes(-1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def project_gaussians(
@@ -73,7 +74,8 @@ def project_gaussians(
     f32 = jnp.float32
     means = means.astype(f32)
     W = viewmat[:3, :3].astype(f32)
-    t_cam = means @ W.T + viewmat[:3, 3].astype(f32)
+    hp = jax.lax.Precision.HIGHEST  # f32 math: default TPU matmul is bf16
+    t_cam = jnp.matmul(means, W.T, precision=hp) + viewmat[:3, 3].astype(f32)
     tx, ty, tz = t_cam[:, 0], t_cam[:, 1], t_cam[:, 2]
 
     in_depth = (tz > near) & (tz < far)
@@ -96,10 +98,11 @@ def project_gaussians(
     rz2 = rz * rz
     j0 = jnp.stack([fx * rz, jnp.zeros_like(rz), -fx * txc * rz2], axis=-1)
     j1 = jnp.stack([jnp.zeros_like(rz), fy * rz, -fy * tyc * rz2], axis=-1)
-    JW = jnp.stack([j0, j1], axis=-2) @ W  # (N, 2, 3)
+    JW = jnp.matmul(jnp.stack([j0, j1], axis=-2), W, precision=hp)  # (N,2,3)
 
     cov3d = quat_scale_to_cov3d(quats, scales)
-    cov2d = JW @ cov3d @ JW.swapaxes(-1, -2)  # (N, 2, 2)
+    cov2d = jnp.matmul(jnp.matmul(JW, cov3d, precision=hp),
+                       JW.swapaxes(-1, -2), precision=hp)  # (N, 2, 2)
     a = cov2d[:, 0, 0]
     b = 0.5 * (cov2d[:, 0, 1] + cov2d[:, 1, 0])
     c = cov2d[:, 1, 1]

@@ -51,11 +51,14 @@ def rasterize(
     budget: int,
     antialiased: bool = False,
     means2d_offset: jax.Array | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> RasterOut:
     """Differentiable 3DGS render of one camera. `budget` is the static
     (gaussian, tile) instance capacity — re-trace with a bigger one if
-    `out.binning.overflow`."""
+    `out.binning.overflow`. `interpret=None` auto-selects Pallas interpret
+    mode on CPU backends (tests / virtual-mesh dryruns)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = means.shape[0]
     proj = project_gaussians(
         means, quats, scales, cam.viewmat, cam.K, cam.width, cam.height,
@@ -72,10 +75,10 @@ def rasterize(
     packed = pack_instances(
         means2d, proj.conics, colors,
         opacities * proj.compensation, proj.depths,
-    )
+    )  # fields-major (16, N)
     packed = jnp.concatenate(
-        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0)
-    inst = jnp.take(packed, binning.gid, axis=0)
+        [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
+    inst = jnp.take(packed, binning.gid, axis=1)
 
     ntx, nty = num_tiles(cam.width, cam.height, TILE)
     tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret)
