@@ -1,0 +1,49 @@
+from .temporal import c2f_num_embeddings, init_temporal_grid, temporal_embed
+from .rigid import (
+    EmdHeads,
+    RigidAux,
+    RigidConfig,
+    RigidParams,
+    create_rigid,
+    emd_offsets,
+    instance_pose_at,
+    out_of_bound_mask,
+    rigid_world_gaussians,
+    temporal_smoothness_reg,
+)
+from .deformable import (
+    DeformableConfig,
+    DeformableParams,
+    create_deformable,
+    deformable_world_gaussians,
+    out_of_bound_loss,
+)
+from .mlp import (
+    ConditionalDeformNetwork,
+    DeformNetwork,
+    Linear,
+    SkipMLP,
+    conditional_deform_init,
+    deform_network_init,
+    linear_init,
+    posenc,
+    posenc_dim,
+    skip_mlp_init,
+)
+from .hexplane import (
+    HexPlane,
+    hexplane_features,
+    init_hexplane,
+    plane_tv_loss,
+    set_aabb,
+    time_l1_loss,
+    time_smoothness_loss,
+)
+from .s3field import (
+    Deformed,
+    S3FieldConfig,
+    S3FieldParams,
+    apply_s3_field,
+    create_s3_field,
+)
+from .embedding_reg import embedding_knn_loss, knn_graph, scale_percentile_reg
