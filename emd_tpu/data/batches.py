@@ -1,0 +1,90 @@
+"""Batch production: SceneData -> per-step SceneBatch / S3Batch.
+
+Host-side equivalent of the reference's SplitWrapper.next()
+(OmniRe/datasets/base/split_wrapper.py:29-40 + the train.py:249-255
+host-to-device boundary): pick (frame, cam) by the error-buffer sampler,
+assemble the full-image ray bundle, device_put once.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..train.s3_trainer import S3Batch
+from ..train.scene_trainer import SceneBatch
+from .depth import project_depth
+from .sampler import ErrorBufferSampler
+from .scene_data import SceneData, split_train_test
+
+
+class BatchSource:
+    """Precomputes per-view depth maps; serves SceneBatch / S3Batch."""
+
+    def __init__(self, scene: SceneData, test_stride: int = 10,
+                 with_depth: bool = True, seed: int = 0):
+        self.scene = scene
+        self.train_frames, self.test_frames = split_train_test(
+            scene.num_frames, test_stride)
+        views = [(f, c) for f in self.train_frames
+                 for c in range(scene.num_cams)]
+        self.train_views = views
+        self.sampler = ErrorBufferSampler(np.arange(len(views)), seed=seed)
+        h, w = scene.image_hw
+        self.depths = None
+        if with_depth and scene.lidar_points is not None:
+            self.depths = np.zeros(
+                (scene.num_frames, scene.num_cams, h, w), np.float32)
+            for f in range(scene.num_frames):
+                for c in range(scene.num_cams):
+                    self.depths[f, c] = project_depth(
+                        scene.lidar_points[f], scene.intrinsics[c],
+                        scene.cam_to_worlds[f, c], w, h)
+
+    def camera(self, f: int, c: int) -> Camera:
+        h, w = self.scene.image_hw
+        return Camera(
+            K=jnp.asarray(self.scene.intrinsics[c]),
+            viewmat=jnp.asarray(
+                np.linalg.inv(self.scene.cam_to_worlds[f, c])),
+            width=w, height=h)
+
+    def _common(self, f, c):
+        s = self.scene
+        return dict(
+            camera=self.camera(f, c),
+            rgb=jnp.asarray(s.images[f, c]),
+            depth=(jnp.asarray(self.depths[f, c])
+                   if self.depths is not None else None),
+            sky_mask=(jnp.asarray(s.sky_masks[f, c])
+                      if s.sky_masks is not None else None),
+        )
+
+    def scene_batch(self, f: int, c: int) -> SceneBatch:
+        s = self.scene
+        kw = self._common(f, c)
+        return SceneBatch(
+            frame_idx=jnp.asarray(f),
+            img_idx=jnp.asarray(f * s.num_cams + c),
+            dynamic_mask=(jnp.asarray(s.dynamic_masks[f, c])
+                          if s.dynamic_masks is not None else None),
+            **kw)
+
+    def s3_batch(self, f: int, c: int) -> S3Batch:
+        s = self.scene
+        kw = self._common(f, c)
+        t = f / max(s.num_frames - 1, 1)
+        return S3Batch(t=jnp.asarray(t, jnp.float32),
+                       cam_no=jnp.asarray(min(c, 2)), **kw)
+
+    def next_train(self, kind: str = "scene"):
+        vi = self.sampler.sample()
+        f, c = self.train_views[vi]
+        batch = (self.scene_batch(f, c) if kind == "scene"
+                 else self.s3_batch(f, c))
+        return vi, int(f), int(c), batch
+
+    def report_error(self, view_index: int, error: float) -> None:
+        self.sampler.update(view_index, error)

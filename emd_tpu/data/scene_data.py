@@ -1,0 +1,217 @@
+"""In-memory scene container + processed-directory loader.
+
+The on-disk contract is the processed Waymo layout both references consume
+(EmerNeRF-style; S3Gaussian/scene/dataset_readers.py:330-834 readWaymoInfo,
+OmniRe/datasets/waymo/waymo_sourceloader.py):
+
+  scene_dir/
+    images/{frame:03d}_{cam}.jpg|png          (F x C images)
+    intrinsics/{cam}.txt                      (fx fy cx cy [+distortion])
+    extrinsics/{cam}.txt                      (4x4 cam-to-ego)
+    ego_pose/{frame:03d}.txt                  (4x4 ego-to-world)
+    sky_masks/{frame:03d}_{cam}.png           (optional)
+    dynamic_masks/{frame:03d}_{cam}.png       (optional)
+    lidar/{frame:03d}.bin                     (optional; float32 rows,
+        N x 14 OmniRe layout [origins(3) points(3) flows(3) flow_class
+        ground intensity elongation laser_id] or N x 10 EmerNeRF layout
+        — auto-detected by row width)
+    instances/instances_info.json + frame_instances.json  (optional boxes)
+
+Everything loads host-side into numpy (the references preload to GPU; we
+keep host arrays and device_put per step / shard). Poses are rebased to the
+first ego pose (dataset_readers.py:484-503; waymo_sourceloader.py:185-320).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class InstanceAnn:
+    """One tracked instance (box annotations)."""
+    iid: str
+    class_name: str                       # vehicle / pedestrian / cyclist
+    size: np.ndarray                      # (3,)
+    poses: np.ndarray                     # (F, 4, 4) obj-to-world
+    frame_valid: np.ndarray               # (F,) bool
+
+
+@dataclasses.dataclass
+class SceneData:
+    images: np.ndarray                    # (F, C, H, W, 3) float32 [0,1]
+    intrinsics: np.ndarray                # (C, 3, 3)
+    cam_to_worlds: np.ndarray             # (F, C, 4, 4)
+    sky_masks: np.ndarray | None          # (F, C, H, W) bool
+    dynamic_masks: np.ndarray | None      # (F, C, H, W) bool
+    lidar_points: list | None             # F x (N_f, 3) world points
+    lidar_origins: list | None            # F x (N_f, 3)
+    instances: list                       # list[InstanceAnn]
+
+    @property
+    def num_frames(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def num_cams(self) -> int:
+        return self.images.shape[1]
+
+    @property
+    def image_hw(self):
+        return self.images.shape[2], self.images.shape[3]
+
+    def aabb(self, percentile: float = 99.0) -> tuple[np.ndarray, np.ndarray]:
+        """Scene bounds from lidar (lidar_source.get_aabb percentile
+        variant) or camera positions."""
+        if self.lidar_points:
+            pts = np.concatenate(self.lidar_points, axis=0)
+            lo = np.percentile(pts, 100 - percentile, axis=0)
+            hi = np.percentile(pts, percentile, axis=0)
+        else:
+            cams = self.cam_to_worlds[..., :3, 3].reshape(-1, 3)
+            lo = cams.min(0) - 10.0
+            hi = cams.max(0) + 10.0
+        return lo.astype(np.float32), hi.astype(np.float32)
+
+    def scene_scale(self) -> float:
+        lo, hi = self.aabb()
+        return float(np.linalg.norm(hi - lo) / 2.0)
+
+
+def split_train_test(num_frames: int, test_stride: int = 10
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Every `test_stride`-th frame held out (driving_dataset.py:584-621;
+    S3 dataset_readers.py:550-560)."""
+    idx = np.arange(num_frames)
+    if test_stride <= 0:
+        return idx, np.array([], np.int64)
+    test = idx[test_stride // 2::test_stride] if False else \
+        idx[idx % test_stride == 0]
+    train = idx[idx % test_stride != 0]
+    return train, test
+
+
+def load_scene(scene_dir: str, cams: list[int] | None = None,
+               start_frame: int = 0, end_frame: int | None = None,
+               downscale: int = 1, load_lidar: bool = True) -> SceneData:
+    """Read a processed scene directory (layout above) into memory."""
+    import cv2
+
+    img_dir = os.path.join(scene_dir, "images")
+    files = sorted(os.listdir(img_dir))
+    frames = sorted({int(f.split("_")[0]) for f in files})
+    all_cams = sorted({int(f.split("_")[1].split(".")[0]) for f in files})
+    cams = cams if cams is not None else all_cams
+    if end_frame is not None:
+        frames = [f for f in frames if start_frame <= f < end_frame]
+    else:
+        frames = [f for f in frames if f >= start_frame]
+
+    ext = files[0].split(".")[-1]
+
+    def imread(path, gray=False):
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE if gray
+                         else cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        if not gray:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if downscale > 1:
+            img = cv2.resize(img, (img.shape[1] // downscale,
+                                   img.shape[0] // downscale),
+                             interpolation=cv2.INTER_AREA)
+        return img
+
+    images = np.stack([
+        np.stack([imread(os.path.join(img_dir, f"{f:03d}_{c}.{ext}"))
+                  for c in cams]) for f in frames
+    ]).astype(np.float32) / 255.0
+
+    intr = []
+    for c in cams:
+        v = np.loadtxt(os.path.join(scene_dir, "intrinsics", f"{c}.txt"))
+        K = np.array([[v[0], 0, v[2]], [0, v[1], v[3]], [0, 0, 1]],
+                     np.float32)
+        if downscale > 1:
+            K[:2] /= downscale
+        intr.append(K)
+    intrinsics = np.stack(intr)
+
+    cam2ego = np.stack([
+        np.loadtxt(os.path.join(scene_dir, "extrinsics",
+                                f"{c}.txt")).reshape(4, 4)
+        for c in cams]).astype(np.float32)
+    ego_poses = np.stack([
+        np.loadtxt(os.path.join(scene_dir, "ego_pose",
+                                f"{f:03d}.txt")).reshape(4, 4)
+        for f in frames]).astype(np.float32)
+    # rebase to first ego pose
+    base_inv = np.linalg.inv(ego_poses[0])
+    ego_poses = base_inv[None] @ ego_poses
+    cam_to_worlds = np.einsum("fij,cjk->fcik", ego_poses, cam2ego)
+
+    def maybe_masks(name):
+        d = os.path.join(scene_dir, name)
+        if not os.path.isdir(d):
+            return None
+        out = np.stack([
+            np.stack([imread(os.path.join(d, f"{f:03d}_{c}.png"), gray=True)
+                      for c in cams]) for f in frames])
+        return out > 127
+
+    sky = maybe_masks("sky_masks")
+    dyn = maybe_masks("dynamic_masks")
+
+    lidar_pts, lidar_org = None, None
+    lidar_dir = os.path.join(scene_dir, "lidar")
+    if load_lidar and os.path.isdir(lidar_dir):
+        lidar_pts, lidar_org = [], []
+        for fi, f in enumerate(frames):
+            path = os.path.join(lidar_dir, f"{f:03d}.bin")
+            raw = np.fromfile(path, dtype=np.float32)
+            width = 14 if raw.size % 14 == 0 else 10
+            raw = raw.reshape(-1, width)
+            org_ego, pts_ego = raw[:, 0:3], raw[:, 3:6]
+            T = ego_poses[fi]
+            pts = pts_ego @ T[:3, :3].T + T[:3, 3]
+            org = org_ego @ T[:3, :3].T + T[:3, 3]
+            lidar_pts.append(pts.astype(np.float32))
+            lidar_org.append(org.astype(np.float32))
+
+    instances = _load_instances(scene_dir, frames, base_inv)
+    return SceneData(images=images, intrinsics=intrinsics,
+                     cam_to_worlds=cam_to_worlds.astype(np.float32),
+                     sky_masks=sky, dynamic_masks=dyn,
+                     lidar_points=lidar_pts, lidar_origins=lidar_org,
+                     instances=instances)
+
+
+def _load_instances(scene_dir, frames, base_inv):
+    """instances_info.json / frame_instances.json
+    (waymo_sourceloader.load_objects:185-320)."""
+    ipath = os.path.join(scene_dir, "instances", "instances_info.json")
+    if not os.path.exists(ipath):
+        return []
+    with open(ipath) as f:
+        info = json.load(f)
+    out = []
+    n_frames = len(frames)
+    frame_of = {f: i for i, f in enumerate(frames)}
+    for iid, v in info.items():
+        poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+        valid = np.zeros((n_frames,), bool)
+        for f_ann, pose in zip(v["frame_annotations"]["frame_idx"],
+                               v["frame_annotations"]["obj_to_world"]):
+            if f_ann in frame_of:
+                fi = frame_of[f_ann]
+                poses[fi] = base_inv @ np.asarray(pose, np.float32)
+                valid[fi] = True
+        size = np.max(np.asarray(v["frame_annotations"]["box_size"],
+                                 np.float32), axis=0)
+        out.append(InstanceAnn(
+            iid=iid, class_name=v.get("class_name", "vehicle"),
+            size=size, poses=poses, frame_valid=valid))
+    return out

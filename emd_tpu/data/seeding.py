@@ -1,0 +1,238 @@
+"""Scene seeding: SceneData -> initialized SceneParams/SceneAux.
+
+Re-creations of the reference init paths:
+- background: lidar samples filtered against instance boxes + uniform
+  random samples in the scene AABB (OmniRe scene_graph.py:86-193 +
+  driving_dataset.get_lidar_samples / filter_pts_in_boxes:475-553;
+  omnire.yaml:79-84 600k lidar + 400k random);
+- rigid/deformable instances: per-frame box-cropped lidar transformed to
+  object-local coords, moving-object filter by trajectory length
+  (get_init_objects:263-396);
+- class routing by annotation class name (vehicle -> RigidNodes,
+  cyclist -> DeformableNodes, pedestrian -> SMPLNodes).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.gaussians import GaussianParams, params_from_points
+from ..motion.deformable import DeformableConfig, create_deformable
+from ..motion.rigid import RigidConfig, create_rigid
+from ..scene.correction import AffineCorrection, CameraPoseCorrection
+from ..scene.scene_graph import SceneAux, SceneParams
+from ..scene.sky import SkyCubemap
+from .depth import lidar_colors
+from .scene_data import InstanceAnn, SceneData
+
+RIGID_CLASSES = ("vehicle", "car", "truck", "bus", "trailer")
+DEFORM_CLASSES = ("cyclist", "bicycle", "motorcycle", "bicyclist")
+SMPL_CLASSES = ("pedestrian", "person", "human")
+
+
+def _in_box(pts_world, pose, size, margin=1.0):
+    """Mask of world points inside an oriented box (filter_pts_in_boxes)."""
+    inv = np.linalg.inv(pose)
+    local = pts_world @ inv[:3, :3].T + inv[:3, 3]
+    return np.all(np.abs(local) <= (size * margin) / 2.0, axis=-1), local
+
+
+def is_moving(ann: InstanceAnn, thresh: float = 2.0) -> bool:
+    """Trajectory-length moving filter (get_init_objects:263-396)."""
+    t = ann.poses[ann.frame_valid][:, :3, 3]
+    if len(t) < 2:
+        return False
+    return float(np.linalg.norm(t[-1] - t[0])) > thresh
+
+
+def seed_background(scene: SceneData, n_lidar: int = 60_000,
+                    n_random: int = 40_000, capacity_factor: float = 2.0,
+                    seed: int = 0, sh_bases: int = 16):
+    """Lidar-seeded + random background points, box-filtered."""
+    rng = np.random.RandomState(seed)
+    pts_l, col_l = [], []
+    if scene.lidar_points:
+        for fi in range(scene.num_frames):
+            pts = scene.lidar_points[fi]
+            if pts.shape[0] == 0:
+                continue
+            # drop points inside any instance box at this frame
+            keep = np.ones(pts.shape[0], bool)
+            for ann in scene.instances:
+                if ann.frame_valid[fi]:
+                    inside, _ = _in_box(pts, ann.poses[fi], ann.size)
+                    keep &= ~inside
+            pts = pts[keep]
+            cols, _ = lidar_colors(pts, scene.images[fi, 0],
+                                   scene.intrinsics[0],
+                                   scene.cam_to_worlds[fi, 0])
+            pts_l.append(pts)
+            col_l.append(cols)
+        pts_all = np.concatenate(pts_l)
+        col_all = np.concatenate(col_l)
+        if pts_all.shape[0] > n_lidar:
+            sel = rng.choice(pts_all.shape[0], n_lidar, replace=False)
+            pts_all, col_all = pts_all[sel], col_all[sel]
+    else:
+        pts_all = np.zeros((0, 3), np.float32)
+        col_all = np.zeros((0, 3), np.float32)
+
+    lo, hi = scene.aabb()
+    rand_pts = rng.uniform(lo, hi, (n_random, 3)).astype(np.float32)
+    rand_col = np.full((n_random, 3), 0.5, np.float32)
+    pts = np.concatenate([pts_all, rand_pts])
+    cols = np.concatenate([col_all, rand_col])
+    capacity = int(pts.shape[0] * capacity_factor)
+    return params_from_points(pts, np.clip(cols, 0, 1), capacity,
+                              sh_bases=sh_bases, seed=seed)
+
+
+def seed_instances(scene: SceneData, classes: tuple[str, ...],
+                   max_pts_per_instance: int = 5000,
+                   min_pts: int = 10, capacity_factor: float = 2.0,
+                   only_moving: bool = True, seed: int = 0,
+                   sh_bases: int = 4):
+    """Box-cropped object-local lidar per instance of the given classes.
+
+    Returns (points (N,3) local, colors, point_ids, pose_quats (F,I,4),
+    pose_trans (F,I,3), frame_valid (F,I), sizes (I,3), capacity) or None
+    if no instances qualify."""
+    from ..core.quat import rotmat_to_quat
+
+    rng = np.random.RandomState(seed)
+    chosen = [a for a in scene.instances
+              if a.class_name.lower() in classes
+              and (not only_moving or is_moving(a))]
+    if not chosen:
+        return None
+
+    pts_l, col_l, pid_l = [], [], []
+    for idx, ann in enumerate(chosen):
+        local_pts = []
+        if scene.lidar_points:
+            for fi in range(scene.num_frames):
+                if not ann.frame_valid[fi]:
+                    continue
+                pts = scene.lidar_points[fi]
+                inside, local = _in_box(pts, ann.poses[fi], ann.size)
+                local_pts.append(local[inside])
+        local_pts = (np.concatenate(local_pts)
+                     if local_pts else np.zeros((0, 3), np.float32))
+        if local_pts.shape[0] < min_pts:
+            # fall back to random points in the box (reference uses random
+            # init for sparse instances)
+            local_pts = rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32) \
+                * ann.size[None]
+        if local_pts.shape[0] > max_pts_per_instance:
+            sel = rng.choice(local_pts.shape[0], max_pts_per_instance,
+                             replace=False)
+            local_pts = local_pts[sel]
+        pts_l.append(local_pts.astype(np.float32))
+        col_l.append(np.full((local_pts.shape[0], 3), 0.5, np.float32))
+        pid_l.append(np.full((local_pts.shape[0],), idx, np.int32))
+
+    pts = np.concatenate(pts_l)
+    cols = np.concatenate(col_l)
+    pids = np.concatenate(pid_l)
+    n_inst = len(chosen)
+    f = scene.num_frames
+    quats = np.zeros((f, n_inst, 4), np.float32)
+    trans = np.zeros((f, n_inst, 3), np.float32)
+    fv = np.zeros((f, n_inst), bool)
+    sizes = np.stack([a.size for a in chosen])
+    for i, ann in enumerate(chosen):
+        quats[:, i] = np.asarray(rotmat_to_quat(
+            jnp.asarray(ann.poses[:, :3, :3])))
+        trans[:, i] = ann.poses[:, :3, 3]
+        fv[:, i] = ann.frame_valid
+    capacity = int(pts.shape[0] * capacity_factor)
+    return dict(points=pts, colors=cols, point_ids=pids, pose_quats=quats,
+                pose_trans=trans, frame_valid=fv, sizes=sizes,
+                capacity=capacity, sh_bases=sh_bases)
+
+
+def _instance_gauss(seeded, seed=0):
+    params, alive = params_from_points(
+        seeded["points"], seeded["colors"], seeded["capacity"],
+        sh_bases=seeded["sh_bases"], seed=seed)
+    pid = np.zeros((seeded["capacity"],), np.int32)
+    pid[:seeded["point_ids"].shape[0]] = seeded["point_ids"]
+    return params, alive, jnp.asarray(pid)
+
+
+def build_scene_params(
+    scene: SceneData,
+    key=None,
+    n_lidar: int = 60_000,
+    n_random: int = 40_000,
+    sky_resolution: int = 512,
+    rigid_cfg: RigidConfig = RigidConfig(),
+    deform_cfg: DeformableConfig = DeformableConfig(),
+    with_smpl: bool = True,
+    seed: int = 0,
+) -> tuple[SceneParams, SceneAux]:
+    """Full scene-graph initialization from data (MultiTrainer
+    init_gaussians_from_dataset, scene_graph.py:86-193)."""
+    key = key if key is not None else jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+
+    bg, bg_alive = seed_background(scene, n_lidar, n_random, seed=seed)
+
+    rigid = rigid_aux = rigid_alive = None
+    sr = seed_instances(scene, RIGID_CLASSES, seed=seed)
+    if sr is not None:
+        g, rigid_alive, pid = _instance_gauss(sr, seed)
+        rigid, rigid_aux = create_rigid(
+            ks[0], g, pid, sr["pose_quats"], sr["pose_trans"],
+            sr["frame_valid"], sr["sizes"], rigid_cfg)
+
+    deform = deform_aux = deform_alive = None
+    sd = seed_instances(scene, DEFORM_CLASSES, only_moving=False, seed=seed)
+    if sd is not None:
+        g, deform_alive, pid = _instance_gauss(sd, seed)
+        r, deform_aux = create_rigid(
+            ks[1], g, pid, sd["pose_quats"], sd["pose_trans"],
+            sd["frame_valid"], sd["sizes"], deform_cfg.rigid)
+        deform = create_deformable(ks[2], r, sd["sizes"].shape[0],
+                                   deform_cfg)
+
+    smpl = smpl_aux = smpl_alive = None
+    if with_smpl:
+        sp = seed_instances(scene, SMPL_CLASSES, only_moving=False,
+                            seed=seed)
+        if sp is not None:
+            from ..motion.smpl import (N_JOINTS, SmplConfig, create_smpl,
+                                       procedural_template)
+            n_inst = sp["sizes"].shape[0]
+            # canonical gaussians from the procedural template (real SMPL
+            # assets plug in via load_smpl_template)
+            tmpl, tpts = procedural_template(ks[3], 512)
+            n_per = tpts.shape[0]
+            total = n_per * n_inst
+            pts = np.tile(np.asarray(tpts), (n_inst, 1))
+            pid = np.repeat(np.arange(n_inst, dtype=np.int32), n_per)
+            g, smpl_alive = params_from_points(
+                pts, np.full((total, 3), 0.5, np.float32), total,
+                sh_bases=4, seed=seed)
+            body = np.zeros((scene.num_frames, n_inst, N_JOINTS, 4),
+                            np.float32)
+            body[..., 0] = 1.0
+            smpl, smpl_aux = create_smpl(
+                ks[3], g, tmpl, pid, sp["pose_quats"], sp["pose_trans"],
+                sp["frame_valid"], sp["sizes"], body, SmplConfig(rigid_cfg))
+
+    n_images = scene.num_frames * scene.num_cams
+    params = SceneParams(
+        background=bg, rigid=rigid, deformable=deform, smpl=smpl,
+        sky=SkyCubemap.create(sky_resolution),
+        affine=AffineCorrection.create(n_images),
+        cam_pose=CameraPoseCorrection.create(n_images),
+    )
+    aux = SceneAux(
+        bg_alive=bg_alive, rigid_aux=rigid_aux, rigid_alive=rigid_alive,
+        deform_aux=deform_aux, deform_alive=deform_alive,
+        smpl_aux=smpl_aux, smpl_alive=smpl_alive,
+    )
+    return params, aux

@@ -34,7 +34,7 @@ from ..raster.composite_pallas import (
     tiles_to_image,
 )
 from ..raster.projection import project_gaussians
-from ..scene.gaussians import GaussianParams, activate
+from ..core.gaussians import GaussianParams, activate
 from ..train import losses
 from ..train.optim import AdamState, adam_update
 from ..train.trainer import TrainConfig, lr_tree

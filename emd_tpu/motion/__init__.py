@@ -47,3 +47,17 @@ from .s3field import (
     create_s3_field,
 )
 from .embedding_reg import embedding_knn_loss, knn_graph, scale_percentile_reg
+from .smpl import (
+    N_JOINTS,
+    SMPL_PARENTS,
+    SmplAux,
+    SmplConfig,
+    SmplParams,
+    SmplTemplate,
+    batch_rigid_transform,
+    create_smpl,
+    joint_smoothness_reg,
+    load_smpl_template,
+    procedural_template,
+    smpl_world_gaussians,
+)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.quat import quat_multiply, quat_normalize, quat_rotate, quat_slerp
-from ..scene.gaussians import GaussianParams
+from ..core.gaussians import GaussianParams
 from .temporal import c2f_num_embeddings, init_temporal_grid, temporal_embed
 
 

@@ -8,3 +8,21 @@ from .gaussians import (
     params_from_points,
     sh_degree_mask,
 )
+from .sky import SkyCubemap, SkyMLP, composite_sky, sample_cubemap, sky_mlp_color
+from .correction import (
+    AffineCorrection,
+    CameraPoseCorrection,
+    affine_matrix,
+    apply_affine,
+    correct_camtoworld,
+)
+from .scene_graph import (
+    CLASS_NAMES,
+    SceneAux,
+    SceneConfig,
+    SceneParams,
+    SceneRender,
+    class_slices,
+    collect_gaussians,
+    render_scene,
+)

@@ -13,3 +13,21 @@ from .trainer import (
     should_reset_opacity,
     train_step,
 )
+from .scene_trainer import (
+    SceneBatch,
+    SceneTrainConfig,
+    SceneTrainState,
+    create_scene_train_state,
+    scene_lr_tree,
+    scene_train_step,
+)
+from .s3_trainer import (
+    S3Batch,
+    S3Params,
+    S3TrainConfig,
+    S3TrainState,
+    create_s3_train_state,
+    render_s3,
+    s3_lr_tree,
+    s3_train_step,
+)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.quat import quat_normalize, quat_rotate
-from ..scene.gaussians import GaussianParams
+from ..core.gaussians import GaussianParams
 from .optim import AdamState, reset_moments
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..core.camera import Camera
 from ..core.sh import eval_sh
 from ..raster.rasterize import rasterize
-from ..scene.gaussians import (
+from ..core.gaussians import (
     Activated,
     GaussianParams,
     activate,

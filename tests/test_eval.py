@@ -1,0 +1,88 @@
+"""Eval harness: metric suite, LPIPS proxy, trajectories, full evaluation
+over the synthetic scene."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emd_tpu.data import BatchSource, build_scene_params, \
+    make_synthetic_scene
+from emd_tpu.eval import (
+    Lpips,
+    aggregate,
+    do_evaluation,
+    get_novel_trajectory,
+    lpips_distance,
+    metric_suite,
+    psnr,
+    ssim,
+)
+from emd_tpu.scene import SceneConfig
+
+
+def test_metric_suite_basics():
+    key = jax.random.PRNGKey(0)
+    gt = jax.random.uniform(key, (32, 48, 3))
+    out = metric_suite(gt, gt)
+    assert out["psnr"] > 80
+    assert out["ssim"] > 0.999
+    noisy = jnp.clip(gt + 0.1 * jax.random.normal(key, gt.shape), 0, 1)
+    out2 = metric_suite(noisy, gt,
+                        sky_mask=jnp.zeros((32, 48), bool),
+                        dynamic_mask=jnp.ones((32, 48), bool)
+                        .at[16:].set(False))
+    assert out2["psnr"] < 25
+    assert "occupied_psnr" in out2 and "dynamic_psnr" in out2
+
+
+def test_masked_psnr_localizes_error():
+    gt = jnp.zeros((16, 16, 3)) + 0.5
+    pred = gt.at[:8].add(0.2)  # error only in the top half
+    top = jnp.zeros((16, 16), bool).at[:8].set(True)
+    assert float(psnr(pred, gt, top)) < float(psnr(pred, gt, ~top)) - 20
+
+
+def test_lpips_proxy():
+    net = Lpips.random_features(0)
+    key = jax.random.PRNGKey(1)
+    a = jax.random.uniform(key, (64, 64, 3))
+    same = float(lpips_distance(net, a, a))
+    diff = float(lpips_distance(net, a, 1.0 - a))
+    assert same < 1e-6
+    assert diff > same + 1e-3
+    # shifted image is perceptually closer than inverted
+    shifted = jnp.roll(a, 2, axis=1)
+    assert float(lpips_distance(net, a, shifted)) < diff
+
+
+def test_trajectories():
+    scene, _ = make_synthetic_scene(n_frames=6, n_cams=1, width=32,
+                                    height=24, n_lidar=200)
+    c2ws = scene.cam_to_worlds[:, 0]
+    for kind in ("front_center_interp", "change_lane_left", "s_curve"):
+        traj = get_novel_trajectory(c2ws, kind, n_out=20)
+        assert traj.shape == (20, 4, 4)
+        # valid rotations
+        rtr = np.einsum("fij,fkj->fik", traj[:, :3, :3], traj[:, :3, :3])
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (20, 1, 1)),
+                                   atol=1e-4)
+    left = get_novel_trajectory(c2ws, "change_lane_left", n_out=20)
+    base = get_novel_trajectory(c2ws, "front_center_interp", n_out=20)
+    d = np.linalg.norm(left[:, :3, 3] - base[:, :3, 3], axis=1)
+    np.testing.assert_allclose(d, 2.0, atol=1e-4)
+
+
+def test_do_evaluation_end_to_end(tmp_path):
+    scene, _ = make_synthetic_scene(n_frames=6, n_cams=1, width=64,
+                                    height=48, n_lidar=800)
+    params, aux = build_scene_params(scene, n_lidar=800, n_random=200,
+                                     sky_resolution=16, with_smpl=False)
+    src = BatchSource(scene, test_stride=3, with_depth=False)
+    cfg = SceneConfig(budget=1 << 15, interpret=True)
+    results = do_evaluation(params, aux, cfg, src, str(tmp_path / "eval"),
+                            step=0)
+    assert "test" in results and "train" in results
+    assert np.isfinite(results["test"]["psnr"])
+    assert (tmp_path / "eval" / "metrics.json").exists()
+    assert aggregate([{"a": 1.0}, {"a": 3.0}])["a"] == 2.0

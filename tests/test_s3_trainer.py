@@ -1,0 +1,92 @@
+"""S3-flavor trainer: coarse static stage + fine deformation stage
+(BASELINE config #4 shrunk for CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emd_tpu.core import look_at, make_camera, random_quats, rgb_to_sh0
+from emd_tpu.motion import S3FieldConfig, create_s3_field, set_aabb
+from emd_tpu.scene import SkyCubemap, empty_params
+from emd_tpu.train import (
+    S3Batch,
+    S3Params,
+    S3TrainConfig,
+    create_s3_train_state,
+    render_s3,
+    s3_train_step,
+)
+
+W = H = 64
+
+
+def build(key):
+    n = 80
+    ks = jax.random.split(key, 5)
+    g = empty_params(n, sh_bases=4)._replace(
+        means=jnp.concatenate([
+            jax.random.uniform(ks[0], (n, 2), minval=-1.3, maxval=1.3),
+            jax.random.uniform(ks[1], (n, 1), minval=4.0, maxval=6.0),
+        ], -1),
+        log_scales=jnp.full((n, 3), jnp.log(0.15)),
+        quats=random_quats(ks[2], n),
+        sh_dc=rgb_to_sh0(jax.random.uniform(ks[3], (n, 3), minval=.15,
+                                            maxval=.85)),
+        logit_opacities=jnp.full((n,), 2.0))
+    fcfg = S3FieldConfig(sh_bases=4, n_cams=3, feat_head=False)
+    field = create_s3_field(ks[4], fcfg, hex_reso=(8, 8, 8, 5), hex_dim=8,
+                            multires=(1, 2), bounds=1.0)
+    field = field._replace(hexplane=set_aabb(field.hexplane,
+                                             [-2, -2, 3], [2, 2, 7]))
+    params = S3Params(gauss=g, embeddings=jnp.zeros((n, 4)), field=field,
+                      sky=SkyCubemap.create(16))
+    return params, jnp.ones((n,), bool), fcfg
+
+
+def cam():
+    return make_camera(60., 60., W / 2, H / 2,
+                       look_at((0., 0., 0.), (0., 0., 5.),
+                               up=(0., -1., 0.)), W, H)
+
+
+def test_render_s3_stages_differ():
+    params, alive, fcfg = build(jax.random.PRNGKey(0))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True)
+    rgb_c, out_c, d_c = render_s3(params, alive, cfg, cam(), jnp.array(0.5),
+                                  jnp.array(0), jnp.array(0), False)
+    rgb_f, out_f, d_f = render_s3(params, alive, cfg, cam(), jnp.array(0.5),
+                                  jnp.array(0), jnp.array(100), True)
+    assert d_c is None and d_f is not None
+    assert bool(jnp.all(jnp.isfinite(rgb_f)))
+    # random-init field -> some deformation
+    assert float(jnp.abs(d_f.dx_total).max()) > 1e-6
+
+
+def test_s3_training_two_stage():
+    truth, alive, fcfg = build(jax.random.PRNGKey(1))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True,
+                        coarse_iters=15, max_steps=40, lr_means=2e-3,
+                        w_depth=0.0, w_sky=0.02)
+    c = cam()
+    # targets: static scene (truth gaussians, no deformation)
+    targets = {}
+    for ti, t in enumerate(np.linspace(0, 1, 4)):
+        rgb, _, _ = render_s3(truth, alive, cfg, c, jnp.array(float(t)),
+                              jnp.array(0), jnp.array(0), False)
+        targets[ti] = rgb
+
+    student = truth._replace(gauss=truth.gauss._replace(
+        means=truth.gauss.means
+        + 0.06 * jax.random.normal(jax.random.PRNGKey(2),
+                                   truth.gauss.means.shape)))
+    state = create_s3_train_state(student, alive)
+    first = None
+    for step in range(40):
+        ti = step % 4
+        fine = step >= cfg.coarse_iters
+        batch = S3Batch(camera=c, rgb=targets[ti],
+                        t=jnp.array(ti / 3.0), cam_no=jnp.array(0))
+        state, m = s3_train_step(state, batch, cfg, 2.0, fine)
+        assert bool(jnp.isfinite(m["loss"])), f"step {step}"
+        if first is None:
+            first = float(m["psnr"])
+    assert float(m["psnr"]) > first + 1.0, f"{first} -> {float(m['psnr'])}"
