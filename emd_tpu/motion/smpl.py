@@ -149,7 +149,7 @@ def load_smpl_template(path: str, n_gauss: int | None = None
 
 
 def batch_rigid_transform(joint_quats: jax.Array, rest_joints: jax.Array,
-                          parents: jax.Array):
+                          parents=SMPL_PARENTS):
     """Kinematic chain: per-joint local rotations (24, 4) -> world joint
     transforms as (R (24,3,3), t (24,3)) pairs relative to rest pose.
 
@@ -157,7 +157,13 @@ def batch_rigid_transform(joint_quats: jax.Array, rest_joints: jax.Array,
     smpl.py:438-532): A_child = A_parent * [R_local | rel_joint], then the
     rest-pose-inverse is folded in (A * A0^{-1})."""
     rots = quat_to_rotmat(quat_normalize(joint_quats))     # (24, 3, 3)
-    parents_np = np.asarray(parents)
+    # the kinematic tree is static (python loop unrolls at trace time);
+    # traced parent arrays cannot drive control flow, so fall back to the
+    # canonical SMPL tree in that case
+    if isinstance(parents, jax.core.Tracer):
+        parents_np = SMPL_PARENTS
+    else:
+        parents_np = np.asarray(parents)
 
     abs_r = [rots[0]]
     abs_t = [rest_joints[0]]

@@ -31,3 +31,4 @@ from .s3_trainer import (
     s3_lr_tree,
     s3_train_step,
 )
+from .loop import LoopConfig, fit_scene

@@ -1,0 +1,167 @@
+"""Training orchestration: the outer loop gluing data, train steps,
+densification, KNN refresh, eval, checkpointing, logging.
+
+The L5 layer (OmniRe tools/train.py:107-352 / S3 scene_reconstruction,
+train.py:170-441) re-built around jitted steps: everything inside a step is
+one XLA program; the loop only moves python scalars, samples views, and
+fires the periodic controllers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..motion.embedding_reg import knn_graph
+from ..scene.scene_graph import SceneConfig
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger, setup_logging
+from .densify import refine, reset_opacity
+from .scene_trainer import (
+    SceneBatch,
+    SceneTrainConfig,
+    SceneTrainState,
+    create_scene_train_state,
+    scene_train_step,
+)
+from .trainer import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    max_steps: int = 30_000
+    refine_start: int = 500
+    refine_interval: int = 100
+    refine_stop: int = 15_000
+    reset_opacity_interval: int = 3000
+    knn_refresh_interval: int = 1000
+    log_interval: int = 50
+    eval_interval: int = 10_000
+    ckpt_interval: int = 15_000
+    test_stride: int = 10
+    seed: int = 0
+
+
+def fit_scene(
+    scene,
+    out_dir: str,
+    cfg: SceneTrainConfig | None = None,
+    loop: LoopConfig = LoopConfig(),
+    params_aux=None,
+    eval_fn=None,
+) -> SceneTrainState:
+    """Train the scene-graph model on a scene; returns the final state."""
+    # local imports: the data package imports batch types from this
+    # package, so pulling data symbols lazily avoids an import cycle
+    from ..data.batches import BatchSource
+    from ..data.seeding import build_scene_params
+
+    logger = setup_logging(out_dir)
+    cfg = cfg or SceneTrainConfig()
+    cfg = dataclasses.replace(cfg, max_steps=loop.max_steps)
+
+    if params_aux is None:
+        logger.info("seeding scene graph from data ...")
+        params, aux = build_scene_params(scene, seed=loop.seed)
+    else:
+        params, aux = params_aux
+    state = create_scene_train_state(params, aux)
+    scene_scale = scene.scene_scale()
+    logger.info(
+        "scene: %d frames x %d cams, scale %.1f; background capacity %d",
+        scene.num_frames, scene.num_cams, scene_scale,
+        params.background.capacity)
+
+    source = BatchSource(scene, test_stride=loop.test_stride,
+                         seed=loop.seed)
+    metrics_log = MetricLogger(out_dir)
+    key = jax.random.PRNGKey(loop.seed)
+
+    for step in range(loop.max_steps):
+        # KNN refresh BEFORE the step: the first refresh changes the state
+        # pytree (None -> arrays), so doing it up-front avoids a retrace.
+        if (state.params.rigid is not None
+                and step % loop.knn_refresh_interval == 0):
+            idx, w = knn_graph(
+                np.asarray(state.params.rigid.gauss.means),
+                np.asarray(state.aux.rigid_alive), k=8)
+            state = state._replace(knn={"rigid": (jnp.asarray(idx),
+                                                  jnp.asarray(w))})
+
+        vi, f, c, batch = source.next_train("scene")
+        state, m = scene_train_step(state, batch, cfg, scene_scale)
+        source.report_error(vi, float(m["rgb"]))
+        metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
+        if bool(m["overflow"]):
+            logger.warning("step %d: instance budget overflow "
+                           "(raise SceneConfig.budget)", step)
+
+        if (loop.refine_start <= step < loop.refine_stop
+                and step % loop.refine_interval == 0):
+            key, sub = jax.random.split(key)
+            out = refine(sub, state.params.background, state.aux.bg_alive,
+                         _opt_background(state), state.dstate,
+                         _densify_cfg(), scene_scale)
+            state = _apply_background_refine(state, out)
+            logger.info(
+                "refine@%d: split %d dup %d culled %d alive %d dropped %d",
+                step, int(out.n_split), int(out.n_dup), int(out.n_culled),
+                int(jnp.sum(out.alive)), int(out.n_dropped))
+
+        if (0 < step < loop.refine_stop
+                and step % loop.reset_opacity_interval == 0):
+            p, opt_bg = reset_opacity(state.params.background,
+                                      _opt_background(state))
+            state = _set_background(state, p, opt_bg, state.aux.bg_alive,
+                                    state.dstate)
+
+        if step % loop.log_interval == 0:
+            logger.info(metrics_log.line(step, loop.max_steps))
+            metrics_log.dump(step)
+
+        if eval_fn is not None and step > 0 and \
+                step % loop.eval_interval == 0:
+            eval_fn(state, step)
+
+        if step > 0 and step % loop.ckpt_interval == 0:
+            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                            (state.params, state.aux, state.step))
+
+    save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
+                    (state.params, state.aux, state.step))
+    logger.info("done: %s", metrics_log.line(loop.max_steps,
+                                             loop.max_steps))
+    return state
+
+
+def _densify_cfg():
+    from .densify import DensifyConfig
+    return DensifyConfig()
+
+
+def _opt_background(state: SceneTrainState):
+    from .optim import AdamState
+    return AdamState(mu=state.opt.mu.background, nu=state.opt.nu.background,
+                     step=state.opt.step)
+
+
+def _apply_background_refine(state: SceneTrainState, out):
+    return _set_background(state, out.params, out.opt, out.alive,
+                           out.dstate)
+
+
+def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,
+                    dstate):
+    new_params = state.params._replace(background=bg_params)
+    new_opt = state.opt._replace(
+        mu=state.opt.mu._replace(background=bg_opt.mu),
+        nu=state.opt.nu._replace(background=bg_opt.nu))
+    new_aux = state.aux._replace(bg_alive=bg_alive)
+    return state._replace(params=new_params, opt=new_opt, aux=new_aux,
+                          dstate=dstate)

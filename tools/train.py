@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Train entry point (L7): scene-graph or S3-flavor training on a processed
+scene directory or the built-in synthetic scene.
+
+Examples:
+  # synthetic smoke run (CPU or TPU)
+  python tools/train.py --synthetic --steps 300 --out /tmp/run1
+  # processed Waymo-layout scene
+  python tools/train.py --scene_dir /data/waymo/seg123 --steps 30000 \\
+      --out runs/seg123 --cams 0 1 2
+
+The reference launchers this replaces: OmniRe/tools/train.py:354-377 +
+train.sh; S3Gaussian/train.py:462-489 + scripts/dynamic/*.sh.
+"""
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene_dir", type=str, default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--steps", type=int, default=30_000)
+    ap.add_argument("--cams", type=int, nargs="*", default=None)
+    ap.add_argument("--downscale", type=int, default=1)
+    ap.add_argument("--test_stride", type=int, default=10)
+    ap.add_argument("--budget", type=int, default=1 << 20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (debug)")
+    ap.add_argument("--eval", action="store_true",
+                    help="run full evaluation after training")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from emd_tpu.data import BatchSource, load_scene, make_synthetic_scene
+    from emd_tpu.eval import do_evaluation
+    from emd_tpu.scene import SceneConfig
+    from emd_tpu.train import LoopConfig, SceneTrainConfig, fit_scene
+
+    if args.synthetic:
+        scene, _ = make_synthetic_scene(n_frames=10, n_cams=2, width=128,
+                                        height=96, seed=args.seed)
+    else:
+        assert args.scene_dir, "--scene_dir or --synthetic required"
+        scene = load_scene(args.scene_dir, cams=args.cams,
+                           downscale=args.downscale)
+
+    cfg = SceneTrainConfig(
+        scene=SceneConfig(budget=args.budget),
+        max_steps=args.steps,
+    )
+    loop = LoopConfig(
+        max_steps=args.steps,
+        test_stride=args.test_stride,
+        refine_start=min(500, args.steps // 4),
+        refine_stop=int(args.steps * 0.5),
+        refine_interval=max(10, min(100, args.steps // 20)),
+        reset_opacity_interval=max(100, args.steps // 10),
+        eval_interval=max(100, args.steps // 3),
+        ckpt_interval=max(100, args.steps // 2),
+        seed=args.seed,
+    )
+    state = fit_scene(scene, args.out, cfg, loop)
+
+    if args.eval:
+        src = BatchSource(scene, test_stride=args.test_stride)
+        results = do_evaluation(state.params, state.aux, cfg.scene, src,
+                                os.path.join(args.out, "eval"),
+                                step=args.steps)
+        print("eval:", results["test"])
+
+
+if __name__ == "__main__":
+    main()
