@@ -94,12 +94,12 @@ def empty_params(capacity: int, sh_bases: int) -> GaussianParams:
 def knn_mean_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
     """Mean distance to the k nearest neighbours, computed host-side at init
     (the role of simple_knn's distCUDA2 / sklearn in the references —
-    S3 gaussian_model.py:163, OmniRe basics.py:244-260)."""
-    from scipy.spatial import cKDTree
+    S3 gaussian_model.py:163, OmniRe basics.py:244-260). Uses the native
+    C++ grid-hash KNN (emd_tpu.native) with a scipy fallback."""
+    from ..native import knn
 
-    tree = cKDTree(points)
-    d, _ = tree.query(points, k=k + 1, workers=-1)
-    return d[:, 1:].mean(axis=1)
+    d, _ = knn(np.asarray(points, np.float32), k)
+    return d.mean(axis=1)
 
 
 def params_from_points(

@@ -61,3 +61,17 @@ from .smpl import (
     procedural_template,
     smpl_world_gaussians,
 )
+from .pvg import (
+    PvgConfig,
+    PvgParams,
+    create_pvg,
+    pvg_at_time,
+    pvg_staticness,
+    velocity_reg,
+)
+from .deformgs import (
+    DeformGsParams,
+    create_deformgs,
+    deformgs_at_time,
+    merf_contract,
+)

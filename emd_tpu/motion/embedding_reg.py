@@ -22,7 +22,7 @@ def knn_graph(points: np.ndarray, alive: np.ndarray, k: int = 20,
               weight_scale: float = 2000.0) -> tuple[np.ndarray, np.ndarray]:
     """Host-side KNN over alive points. Returns (indices (C, k) int32 into
     the full capacity array, weights (C, k) f32, zero for dead rows)."""
-    from scipy.spatial import cKDTree
+    from ..native import knn
 
     c = points.shape[0]
     idx_alive = np.flatnonzero(alive)
@@ -30,12 +30,10 @@ def knn_graph(points: np.ndarray, alive: np.ndarray, k: int = 20,
     out_w = np.zeros((c, k), np.float32)
     if idx_alive.size < k + 1:
         return out_idx, out_w
-    pts = points[idx_alive]
-    tree = cKDTree(pts)
-    d, nn = tree.query(pts, k=k + 1, workers=-1)
-    d, nn = d[:, 1:], nn[:, 1:]
+    pts = np.asarray(points[idx_alive], np.float32)
+    d, nn = knn(pts, k)
     out_idx[idx_alive] = idx_alive[nn].astype(np.int32)
-    out_w[idx_alive] = np.exp(-weight_scale * d.astype(np.float32) ** 2)
+    out_w[idx_alive] = np.exp(-weight_scale * d ** 2)
     return out_idx, out_w
 
 

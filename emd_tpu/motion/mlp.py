@@ -9,6 +9,7 @@ gaussian tensors, including masked optimizer surgery.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Sequence
 
 import jax
@@ -83,15 +84,22 @@ def skip_mlp_out_dim(d_in: int, width: int, depth: int) -> int:
     return width + (d_in if (depth - 1) in {depth // 2} else 0)
 
 
-class DeformNetwork(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeformNetwork:
     """Global deformation field: (x, t) -> (dxyz, drot, dscale)
-    (modules.py:369-408; used by OmniRe's DeformGS background)."""
+    (modules.py:369-408; used by OmniRe's DeformGS background).
+    The posenc frequency counts are static pytree metadata (they drive
+    python loops, not traced math)."""
     trunk: SkipMLP
     warp: Linear
     rotation: Linear
     scaling: Linear
-    x_multires: int
-    t_multires: int
+    x_multires: int = dataclasses.field(metadata=dict(static=True))
+    t_multires: int = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     def __call__(self, x, t):
         x_emb = posenc(x, self.x_multires)
@@ -114,7 +122,9 @@ def deform_network_init(key, depth=8, width=256, x_multires=10,
     )
 
 
-class ConditionalDeformNetwork(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConditionalDeformNetwork:
     """Instance-conditioned deformation (modules.py:411-457; the
     DeformableNodes decoder): (x_local, t, z_instance) -> (dxyz, drot?,
     dscale?)."""
@@ -122,8 +132,11 @@ class ConditionalDeformNetwork(NamedTuple):
     warp: Linear
     rotation: Linear | None
     scaling: Linear | None
-    x_multires: int
-    t_multires: int
+    x_multires: int = dataclasses.field(metadata=dict(static=True))
+    t_multires: int = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     def __call__(self, x, t, cond):
         x_emb = posenc(x, self.x_multires)

@@ -2,16 +2,25 @@
 
 Replaces the CUDA backends' atomic tile binning + radix sort (the
 `isect_tiles`/`isect_offset_encode` phase of gsplat and diff_gauss's
-DuplicateWithKeys/SortPairs). TPU has no global atomics, so the design is
-sort-based and fully static-shaped:
+DuplicateWithKeys/SortPairs). TPU has no global atomics, and measured XLA
+costs on real hardware drive the design: a 2M-element single-key sort is
+~4 ms, but 2M-element gathers are ~15 ms each and scatter-ADDs 30-40 ms.
+So the pipeline uses ONE fused-key sort and replaces every large gather /
+scatter-add with cumsum / associative-scan "segment fill" decompressions:
 
-  1. per-gaussian tile-coverage counts -> inclusive cumsum `offsets`
-  2. every instance slot j in a fixed budget M pulls its gaussian via
-     searchsorted(offsets, j) and decodes its tile id  (no scatter)
-  3. one `jax.lax.sort` over (tile_id, depth) with the gaussian id as payload
-  4. per-tile segments are re-laid-out so each tile's segment starts at a
-     multiple of CHUNK (the compositor's DMA granularity) — padding slots
-     point at a dummy gaussian with opacity 0
+  1. per-gaussian tile-coverage counts -> cumsum `offsets`
+  2. expansion WITHOUT per-slot gathers: per-gaussian attributes are
+     scatter-written once at each gaussian's first slot (N-sized scatter)
+     and propagated across the instance axis with a last-valid
+     associative scan
+  3. one `jax.lax.sort` on a fused uint32 key: tile id in the high bits,
+     the top bits of the positive-float depth pattern in the low bits
+     (positive IEEE floats compare like their bit patterns — the CUDA
+     radix-key trick, truncated to 32 bits)
+  4. per-tile counts from the *sorted* array via searchsorted (T+1 binary
+     searches — no histogram scatter-add), chunk-aligned padded offsets,
+     and destinations again by segment fill; one scatter-set writes the
+     padded gaussian-id layout the Pallas compositor consumes.
 
 Everything here is index computation: gradients never flow through it (the
 differentiable path re-gathers gaussian attributes with jnp.take using the
@@ -49,6 +58,28 @@ def num_tiles(width: int, height: int, tile_size: int) -> tuple[int, int]:
     return tx, ty
 
 
+def _segment_fill(positions, values, valid, length):
+    """Write values at ascending `positions` (N-scatter), then propagate
+    each value forward until the next written position (last-valid
+    associative scan). `values` is a tuple of (N,) int32 arrays; returns
+    the filled (length,) arrays. Invalid writers go to a dump slot."""
+    pos = jnp.where(valid, positions, length)
+    bufs = [jnp.zeros((length + 1,), jnp.int32).at[pos].set(v)
+            for v in values]
+    mark = jnp.zeros((length + 1,), bool).at[pos].set(valid)
+
+    def combine(a, b):
+        av, am = a
+        bv, bm = b
+        take_b = bm[..., None] if False else bm
+        return (tuple(jnp.where(bm, bv_i, av_i)
+                      for av_i, bv_i in zip(av, bv)), am | bm)
+
+    filled, _ = jax.lax.associative_scan(
+        combine, (tuple(b[:length] for b in bufs), mark[:length]), axis=0)
+    return filled
+
+
 def bin_gaussians(
     means2d: jax.Array,   # (N, 2)
     radii: jax.Array,     # (N,) int32, 0 = culled
@@ -67,11 +98,14 @@ def bin_gaussians(
     depths = jax.lax.stop_gradient(depths)
 
     r = radii.astype(jnp.float32)
-    # tile coverage box (inclusive min, exclusive max), clamped to the grid
-    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_size), 0, ntx).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / tile_size), 0, ntx).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_size), 0, nty).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / tile_size), 0, nty).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_size), 0,
+                   ntx).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / tile_size), 0,
+                   ntx).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_size), 0,
+                   nty).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / tile_size), 0,
+                   nty).astype(jnp.int32)
     w_t = tx1 - tx0
     h_t = ty1 - ty0
     counts = jnp.where(radii > 0, w_t * h_t, 0)
@@ -79,52 +113,59 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts)                       # inclusive, (N,)
     total = offsets[-1]
     overflow = total > budget
+    starts = offsets - counts                          # exclusive
 
-    # Each slot pulls its gaussian: g_j = #{i : offsets_i <= j}. Computed as
-    # a scatter-add histogram + cumsum instead of searchsorted — O(N + M)
-    # with one pass, vs log(N) full-size gather rounds.
+    # ---- expansion by segment fill (no per-slot gathers)
+    gsel = jnp.arange(n, dtype=jnp.int32)
+    start_f, tx0_f, ty0_f, w_f, gid_f = _segment_fill(
+        jnp.minimum(starts, budget),
+        (starts, tx0, ty0, jnp.maximum(w_t, 1), gsel),
+        counts > 0, budget)
+
     slots = jnp.arange(budget, dtype=jnp.int32)
-    hist = jnp.zeros((budget + 1,), jnp.int32).at[
-        jnp.minimum(offsets, budget)].add(1)
-    g = jnp.cumsum(hist[:budget]).astype(jnp.int32)
     in_range = slots < total
-    g_safe = jnp.where(in_range, g, 0)
-    start = jnp.where(g_safe > 0, offsets[jnp.maximum(g_safe - 1, 0)], 0)
-    local = slots - start
-    lw = jnp.maximum(w_t[g_safe], 1)
-    tile_x = tx0[g_safe] + local % lw
-    tile_y = ty0[g_safe] + local // lw
+    local = slots - start_f
+    tile_x = tx0_f + local % w_f
+    tile_y = ty0_f + local // w_f
     tile_id = jnp.where(in_range, tile_y * ntx + tile_x, n_tiles)
-    depth_key = jnp.where(in_range, depths[g_safe], jnp.inf)
-    gid = jnp.where(in_range, g_safe, n)
+    gid = jnp.where(in_range, gid_f, n)
 
-    # Sort instances by (tile, depth); payload = gaussian id.
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gid),
-        num_keys=2,
-    )
+    # depth per slot: fill the depth bits at segment starts too
+    dbits_g = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
+    tile_bits = max(1, int(n_tiles).bit_length())
+    db = 31 - tile_bits
+    (dkey_f,) = _segment_fill(jnp.minimum(starts, budget),
+                              ((dbits_g >> (32 - db)).astype(jnp.int32),),
+                              counts > 0, budget)
 
-    # Per-tile counts and chunk-aligned segment layout.
-    tc = jnp.zeros((n_tiles,), jnp.int32).at[
-        jnp.minimum(tile_s, n_tiles - 1)
-    ].add(jnp.where(tile_s < n_tiles, 1, 0))
+    # ---- one fused-key sort
+    key = ((tile_id.astype(jnp.uint32) << db)
+           | dkey_f.astype(jnp.uint32))
+    key_s, gid_s = jax.lax.sort((key, gid), num_keys=1)
+    tile_s = (key_s >> db).astype(jnp.int32)
+
+    # ---- per-tile counts from the sorted keys (no scatter-add)
+    starts_t = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)                                 # (T+1,)
+    tc = jnp.diff(starts_t)
     tc_pad = -(-tc // chunk) * chunk
     tile_offsets = jnp.concatenate([
         jnp.zeros((1,), jnp.int32), jnp.cumsum(tc_pad).astype(jnp.int32)
     ])
-    unpadded_off = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32), jnp.cumsum(tc).astype(jnp.int32)
-    ])
-
-    # Destination of sorted instance i in the padded layout.
     m_pad = budget + n_tiles * (chunk - 1) + chunk
-    i = jnp.arange(budget, dtype=jnp.int32)
-    t_safe = jnp.minimum(tile_s, n_tiles - 1)
-    dest = i - unpadded_off[t_safe] + tile_offsets[t_safe]
-    dest = jnp.where(tile_s < n_tiles, dest, m_pad - chunk)  # park invalid
+
+    # destination = i + (tile_offsets[t] - starts_t[t]), with the per-tile
+    # shift decompressed by segment fill over the sorted order
+    shift_vals = tile_offsets[:n_tiles] - starts_t[:n_tiles]
+    (shift_f,) = _segment_fill(starts_t[:n_tiles], (shift_vals,),
+                               tc > 0, budget)
+    i_idx = jnp.arange(budget, dtype=jnp.int32)
+    dest = jnp.where(tile_s < n_tiles, i_idx + shift_f, m_pad - chunk)
+
     gid_pad = jnp.full((m_pad,), n, jnp.int32).at[dest].set(
-        jnp.where(tile_s < n_tiles, gid_s, n)
-    )
+        jnp.where(tile_s < n_tiles, gid_s, n))
 
     return Binning(
         gid=gid_pad,

@@ -7,25 +7,31 @@ S3Gaussian/gaussian_renderer/__init__.py:145-155).
 
 Design (TPU-first, not a CUDA translation):
 - One grid step per 32x32 pixel tile (1024 px = exactly one (8,128) f32
-  vreg per quantity). Per-tile instance segments come chunk-aligned from
-  `binning.bin_gaussians`; the kernel walks its segment in CHUNK-sized
-  pieces DMA'd from HBM.
+  vreg row per quantity). Per-tile instance segments come chunk-aligned
+  from `binning.bin_gaussians`; the kernel walks its segment in CHUNK-sized
+  pieces DMA'd from HBM with double buffering.
 - Front-to-back compositing is reformulated in log-transmittance space:
     w_g = alpha_g * exp(S_g),  S_g = sum_{j<g} log(1 - alpha_j)
-  so the within-chunk prefix-sum is a strict-lower-triangular matmul and the
-  color/depth accumulation is a (3,C)@(C,1024) matmul — both on the MXU.
+  and the within-chunk prefix sum runs as a log2(CHUNK)-step Hillis-Steele
+  scan on the VPU (cheaper than an f32 triangular matmul on the MXU);
+  color/depth accumulation stays a (3,C)@(C,1024) MXU matmul.
   No sequential per-gaussian loop, no atomics.
+- Early termination at chunk granularity: the walk stops once every pixel's
+  transmittance falls below T_EPS (the CUDA rasterizers stop per-pixel at
+  1e-4; chunk-level stopping drops contributions bounded by T_EPS).
 - Backward re-walks chunks back-to-front, reconstructing log-transmittance
-  exactly (sweep 1 accumulates total log-T, sweep 2 subtracts per-chunk
-  sums), with the suffix-sum term as a strict-upper-triangular matmul.
-  Gradients are written per *instance* (each instance is owned by exactly
-  one tile, so writes are race-free by construction) and reduced to
-  per-gaussian gradients by the VJP of the gather outside the kernel.
+  exactly (sweep 1 re-runs the forward stopping rule, so the stop chunk
+  matches; chunks the forward never composited get zero gradients), with
+  the suffix-sum term derived from the same scan. Gradients are written
+  per *instance* (each instance is owned by exactly one tile — race-free
+  by construction) and reduced to per-gaussian gradients by the VJP of the
+  gather outside the kernel.
 
 The alpha clamp semantics match the CUDA rasterizers: alpha < 1/255 is
 skipped, alpha is clamped at 0.99, and gradients are zeroed where clamped.
 
-Instance packing (per row of the (M_pad, 16) f32 array):
+Instance packing (fields-major (16, M_pad) f32 so chunk DMAs slice along
+128-aligned lanes):
   [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
   [5:8] rgb  [8] opacity [9] depth  [10:16] zero padding
 Output channels (per tile, (8, 1024)):
@@ -46,6 +52,9 @@ NPX = TILE * TILE
 FEAT = 16          # packed instance feature width
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1e-5       # chunk-level early-termination transmittance
+HP = jax.lax.Precision.HIGHEST
+CHUNK_STATIC = 128
 
 
 def pack_instances(means2d, conics, colors, opacities, depths) -> jax.Array:
@@ -64,12 +73,6 @@ def pack_instances(means2d, conics, colors, opacities, depths) -> jax.Array:
         depths.astype(jnp.float32)[None, :],
         z,
     ], axis=0)
-
-
-def _tri(c: int, strict_lower: bool) -> jax.Array:
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return (col < row if strict_lower else col > row).astype(jnp.float32)
 
 
 def _alpha_terms(data, px, py):
@@ -95,6 +98,18 @@ def _alpha_terms(data, px, py):
                 colors=data[:, 5:8], depth=data[:, 9:10])
 
 
+def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
+    """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = x
+    shift = 1
+    while shift < length:
+        rolled = pltpu.roll(s, shift, axis=0)
+        s = s + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return s
+
+
 def _pixel_coords(t, ntx):
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
     tile_x = t % ntx
@@ -102,6 +117,13 @@ def _pixel_coords(t, ntx):
     px = (tile_x * TILE + ii % TILE).astype(jnp.float32) + 0.5
     py = (tile_y * TILE + ii // TILE).astype(jnp.float32) + 0.5
     return px, py
+
+
+def _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot):
+    return pltpu.make_async_copy(
+        inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                             chunk)],
+        buf.at[slot], sem.at[slot])
 
 
 # ----------------------------------------------------------------------------
@@ -113,33 +135,51 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
     px, py = _pixel_coords(t, ntx)
-    ltri = _tri(chunk, strict_lower=True)
 
-    def body(c, carry):
-        s, rgb, dep = carry
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                 chunk)], buf, sem)
-        cp.start()
-        cp.wait()
-        terms = _alpha_terms(buf[:].T, px, py)
+    @pl.when(nchunks > 0)
+    def _():
+        _chunk_dma(inst_ref, buf, sem, start, 0, chunk, 0).start()
+
+    def cond(carry):
+        c, s, rgb, dep = carry
+        return (c < nchunks) & (jnp.max(s) > jnp.log(T_EPS))
+
+    def body(carry):
+        c, s, rgb, dep = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            _chunk_dma(inst_ref, buf, sem, start, c + 1, chunk,
+                       jax.lax.rem(c + 1, 2)).start()
+
+        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
+        terms = _alpha_terms(buf[slot].T, px, py)
         logom = terms["logom"]
-        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-        w = terms["alpha"] * jnp.exp(s + cum_ex)          # (C, NPX)
+        cum_in = _inclusive_scan0(logom, chunk)
+        w = terms["alpha"] * jnp.exp(s + cum_in - logom)  # exclusive scan
         rgb = rgb + jnp.dot(terms["colors"].T, w,
                             preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                            precision=HP)
         dep = dep + jnp.dot(terms["depth"].T, w,
                             preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-        s = s + jnp.sum(logom, axis=0, keepdims=True)
-        return s, rgb, dep
+                            precision=HP)
+        s = s + cum_in[chunk - 1:chunk, :]
+        return c + 1, s, rgb, dep
 
-    init = (jnp.zeros((1, NPX), jnp.float32),
+    init = (jnp.zeros((), jnp.int32),
+            jnp.zeros((1, NPX), jnp.float32),
             jnp.zeros((3, NPX), jnp.float32),
             jnp.zeros((1, NPX), jnp.float32))
-    s, rgb, dep = jax.lax.fori_loop(0, nchunks, body, init)
+    c_end, s, rgb, dep = jax.lax.while_loop(cond, body, init)
+
+    # drain: an early exit leaves the prefetch of chunk c_end in flight; an
+    # unwaited DMA would corrupt the next tile's buffer reuse.
+    @pl.when(c_end < nchunks)
+    def _():
+        _chunk_dma(inst_ref, buf, sem, start, c_end, chunk,
+                   jax.lax.rem(c_end, 2)).wait()
+
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = dep
     out_ref[0, 4:5, :] = 1.0 - jnp.exp(s)
@@ -156,52 +196,91 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
     px, py = _pixel_coords(t, ntx)
-    ltri = _tri(chunk, strict_lower=True)
-    utri = _tri(chunk, strict_lower=False)
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
     galp = gout_ref[0, 4:5, :]       # (1, NPX)
     t_fin = 1.0 - out_res_ref[0, 4:5, :]
 
-    # sweep 1: total log-transmittance
-    def sum_body(c, acc):
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                 chunk)], buf, sem)
-        cp.start()
-        cp.wait()
-        terms = _alpha_terms(buf[:].T, px, py)
-        return acc + jnp.sum(terms["logom"], axis=0, keepdims=True)
+    @pl.when(nchunks > 0)
+    def _():
+        _chunk_dma(inst_ref, buf, sem, start, 0, chunk, 0).start()
 
-    l_total = jax.lax.fori_loop(
-        0, nchunks, sum_body, jnp.zeros((1, NPX), jnp.float32))
+    # sweep 1: replay the forward walk (same early-stop rule) to find the
+    # stop chunk k_star and the total log-transmittance over [0, k_star)
+    def s_cond(carry):
+        c, s = carry
+        return (c < nchunks) & (jnp.max(s) > jnp.log(T_EPS))
 
-    # sweep 2: reverse chunks. B carries sum_{j > current} w_j wbar_j plus
-    # the final-transmittance term (d alpha_out / d alpha_g path).
+    def s_body(carry):
+        c, s = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            _chunk_dma(inst_ref, buf, sem, start, c + 1, chunk,
+                       jax.lax.rem(c + 1, 2)).start()
+
+        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
+        terms = _alpha_terms(buf[slot].T, px, py)
+        return c + 1, s + jnp.sum(terms["logom"], axis=0, keepdims=True)
+
+    k_star, l_total = jax.lax.while_loop(
+        s_cond, s_body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((1, NPX), jnp.float32)))
+
+    # drain the in-flight prefetch left by an early exit (see fwd kernel)
+    @pl.when(k_star < nchunks)
+    def _():
+        _chunk_dma(inst_ref, buf, sem, start, k_star, chunk,
+                   jax.lax.rem(k_star, 2)).wait()
+
+    # chunks in [k_star, nchunks) never composited -> exact zero gradients
+    def z_body(k, _):
+        c = k_star + k
+        gbuf[0] = jnp.zeros((FEAT, chunk), jnp.float32)
+        wcp = pltpu.make_async_copy(
+            gbuf.at[0],
+            dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+                                  chunk)], wsem.at[0])
+        wcp.start()
+        wcp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks - k_star, z_body, 0)
+
+    @pl.when(k_star > 0)
+    def _():
+        _chunk_dma(inst_ref, buf, sem, start, k_star - 1, chunk, 0).start()
+
+    # sweep 2: reverse over composited chunks. B carries
+    # sum_{j > current} w_j wbar_j plus the final-transmittance term.
     def rev_body(k, carry):
         s_end, b = carry
-        c = nchunks - 1 - k
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                 chunk)], buf, sem)
-        cp.start()
-        cp.wait()
-        terms = _alpha_terms(buf[:].T, px, py)
+        c = k_star - 1 - k
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            _chunk_dma(inst_ref, buf, sem, start, c - 1, chunk,
+                       jax.lax.rem(k + 1, 2)).start()
+
+        slot = jax.lax.rem(k, 2)
+        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
+        terms = _alpha_terms(buf[slot].T, px, py)
         alpha = terms["alpha"]
         logom = terms["logom"]
-        s_start = s_end - jnp.sum(logom, axis=0, keepdims=True)
-        cum_ex = jnp.dot(ltri, logom, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-        t_g = jnp.exp(s_start + cum_ex)                    # (C, NPX)
+        cum_in = _inclusive_scan0(logom, chunk)
+        csum = cum_in[chunk - 1:chunk, :]
+        s_start = s_end - csum
+        t_g = jnp.exp(s_start + cum_in - logom)            # (C, NPX)
         w = alpha * t_g
         wbar = jnp.dot(terms["colors"], grgb,
-                       preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST) \
+                       preferred_element_type=jnp.float32, precision=HP) \
             + terms["depth"] * gdep                         # (C, NPX)
         ww = w * wbar
-        r = b + jnp.dot(utri, ww, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+        # suffix-exclusive sum along C: chunk total - inclusive
+        ww_in = _inclusive_scan0(ww, chunk)
+        r = b + (ww_in[chunk - 1:chunk, :] - ww_in)
         abar = t_g * wbar - r / (1.0 - alpha)
         abar = jnp.where(terms["live"], abar, 0.0)
         common = abar * terms["opa"] * terms["g"]
@@ -218,23 +297,24 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
             rsum(common * (-dx * dy)),                       # d conic_b
             rsum(common * (-0.5 * dy * dy)),                 # d conic_c
             jnp.dot(w, grgb.T, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST),
+                    precision=HP),
             rsum(terms["g"] * abar),                         # d opacity
             rsum(w * gdep),                                  # d depth
             jnp.zeros((chunk, 6), jnp.float32),
         ], axis=1)                                           # (C, 16)
-        gbuf[:] = gmat.T
+        gslot = jax.lax.rem(k, 2)
+        gbuf[gslot] = gmat.T
         wcp = pltpu.make_async_copy(
-            gbuf,
+            gbuf.at[gslot],
             dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                  chunk)], wsem)
+                                  chunk)], wsem.at[gslot])
         wcp.start()
         wcp.wait()
-        b = b + jnp.sum(ww, axis=0, keepdims=True)
+        b = b + ww_in[chunk - 1:chunk, :]
         return s_start, b
 
     b0 = t_fin * (-galp)
-    jax.lax.fori_loop(0, nchunks, rev_body, (l_total, b0))
+    jax.lax.fori_loop(0, k_star, rev_body, (l_total, b0))
 
 
 # ----------------------------------------------------------------------------
@@ -254,7 +334,7 @@ def composite_tiles(inst_data: jax.Array, tile_offsets: jax.Array,
 
 def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
     n_tiles = ntx * nty
-    chunk = _infer_chunk(tile_offsets)
+    chunk = CHUNK_STATIC
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -262,8 +342,8 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
         out_specs=pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -282,7 +362,7 @@ def _composite_fwd(inst_data, tile_offsets, ntx, nty, interpret):
 def _composite_bwd(ntx, nty, interpret, res, gout):
     inst_data, tile_offsets, out = res
     n_tiles = ntx * nty
-    chunk = _infer_chunk(tile_offsets)
+    chunk = CHUNK_STATIC
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -295,10 +375,10 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((FEAT, chunk), jnp.float32),
-            pltpu.VMEM((FEAT, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dinst_raw = pl.pallas_call(
@@ -310,18 +390,13 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
     # Segments the kernel never touched (instance-budget parking region)
     # contain garbage; they belong to the dummy gaussian, but scrub anyway
     # so NaNs can't leak through the gather-VJP's scatter-add.
-    written = jnp.arange(inst_data.shape[1], dtype=jnp.int32) < tile_offsets[-1]
+    written = jnp.arange(inst_data.shape[1], dtype=jnp.int32) \
+        < tile_offsets[-1]
     dinst = jnp.where(written[None, :], dinst_raw, 0.0)
     return dinst, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
-
-
-def _infer_chunk(tile_offsets) -> int:
-    # chunk is carried statically by the binning contract; segments are
-    # aligned to it. We standardize on 128 (see binning.bin_gaussians).
-    return 128
 
 
 def tiles_to_image(tiles: jax.Array, ntx: int, nty: int,

@@ -74,9 +74,15 @@ def project_gaussians(
     f32 = jnp.float32
     means = means.astype(f32)
     W = viewmat[:3, :3].astype(f32)
-    hp = jax.lax.Precision.HIGHEST  # f32 math: default TPU matmul is bf16
-    t_cam = jnp.matmul(means, W.T, precision=hp) + viewmat[:3, 3].astype(f32)
-    tx, ty, tz = t_cam[:, 0], t_cam[:, 1], t_cam[:, 2]
+    # All small contractions below are written out elementwise: batched
+    # (N,2,3)@(3,3)-style matmuls at f32 lower terribly on the TPU MXU
+    # (measured 10x slower than the expanded VPU form), and bf16 matmul
+    # precision is not acceptable here (breaks the oracle allclose gate).
+    t_vec = viewmat[:3, 3].astype(f32)
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    tx = W[0, 0] * mx + W[0, 1] * my + W[0, 2] * mz + t_vec[0]
+    ty = W[1, 0] * mx + W[1, 1] * my + W[1, 2] * mz + t_vec[1]
+    tz = W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + t_vec[2]
 
     in_depth = (tz > near) & (tz < far)
     tz_safe = jnp.where(in_depth, tz, 1.0)
@@ -94,18 +100,34 @@ def project_gaussians(
     txc = jnp.clip(tx * rz, -lim_x, lim_x) * tz_safe
     tyc = jnp.clip(ty * rz, -lim_y, lim_y) * tz_safe
 
-    # J @ W rows (2x3 per gaussian), with clamped tx/ty in the z-derivative.
+    # J @ W rows (2x3 per gaussian), with clamped tx/ty in the z-derivative,
+    # fully expanded: JW[r] = J[r,0]*W[0] + J[r,2]*W[2] (J[0,1]=J[1,0]=0).
     rz2 = rz * rz
-    j0 = jnp.stack([fx * rz, jnp.zeros_like(rz), -fx * txc * rz2], axis=-1)
-    j1 = jnp.stack([jnp.zeros_like(rz), fy * rz, -fy * tyc * rz2], axis=-1)
-    JW = jnp.matmul(jnp.stack([j0, j1], axis=-2), W, precision=hp)  # (N,2,3)
+    j00, j02 = fx * rz, -fx * txc * rz2
+    j11, j12 = fy * rz, -fy * tyc * rz2
+    u = jnp.stack([j00 * W[0, 0] + j02 * W[2, 0],
+                   j00 * W[0, 1] + j02 * W[2, 1],
+                   j00 * W[0, 2] + j02 * W[2, 2]], axis=-1)   # (N, 3)
+    v = jnp.stack([j11 * W[1, 0] + j12 * W[2, 0],
+                   j11 * W[1, 1] + j12 * W[2, 1],
+                   j11 * W[1, 2] + j12 * W[2, 2]], axis=-1)   # (N, 3)
 
-    cov3d = quat_scale_to_cov3d(quats, scales)
-    cov2d = jnp.matmul(jnp.matmul(JW, cov3d, precision=hp),
-                       JW.swapaxes(-1, -2), precision=hp)  # (N, 2, 2)
-    a = cov2d[:, 0, 0]
-    b = 0.5 * (cov2d[:, 0, 1] + cov2d[:, 1, 0])
-    c = cov2d[:, 1, 1]
+    # cov2d = [u; v] Sigma [u; v]^T with Sigma = M M^T, M = R diag(s):
+    # a = |M^T u|^2, b = (M^T u).(M^T v), c = |M^T v|^2 — no matmuls.
+    M = quat_to_rotmat(quats) * scales[..., None, :]          # (N, 3, 3)
+
+    def mtv(w):  # M^T w, expanded (avoid batched tiny dot_generals)
+        return jnp.stack([
+            M[:, 0, 0] * w[:, 0] + M[:, 1, 0] * w[:, 1] + M[:, 2, 0] * w[:, 2],
+            M[:, 0, 1] * w[:, 0] + M[:, 1, 1] * w[:, 1] + M[:, 2, 1] * w[:, 2],
+            M[:, 0, 2] * w[:, 0] + M[:, 1, 2] * w[:, 1] + M[:, 2, 2] * w[:, 2],
+        ], axis=-1)
+
+    mu = mtv(u)
+    mv = mtv(v)
+    a = jnp.sum(mu * mu, axis=-1)
+    b = jnp.sum(mu * mv, axis=-1)
+    c = jnp.sum(mv * mv, axis=-1)
 
     det_raw = a * c - b * b
     a_b = a + BLUR_2D

@@ -32,3 +32,4 @@ from .s3_trainer import (
     s3_train_step,
 )
 from .loop import LoopConfig, fit_scene
+from .s3_loop import S3LoopConfig, fit_s3

@@ -119,10 +119,18 @@ def refine(
     scene_scale: float,
     use_screen_cull: jax.Array | bool = False,
 ) -> RefineOut:
-    """One densify+prune pass. Fully jittable."""
+    """One densify+prune pass. Fully jittable.
+
+    `params` is either a GaussianParams or a tuple whose FIRST element is a
+    GaussianParams — extra per-gaussian arrays (motion embeddings, PVG
+    params, point ids...) ride along and children inherit their parent's
+    rows (the reference carries embeddings through densification,
+    rigid.py refinement_after:278-383, S3 gaussian_model.py:479-556)."""
+    is_plain = isinstance(params, GaussianParams)
+    gauss = params if is_plain else params[0]
     cap = alive.shape[0]
-    scales = jnp.exp(params.log_scales)
-    opac = jax.nn.sigmoid(params.logit_opacities)
+    scales = jnp.exp(gauss.log_scales)
+    opac = jax.nn.sigmoid(gauss.logit_opacities)
     avg_grad = dstate.grad_accum / jnp.maximum(
         dstate.count.astype(jnp.float32), 1.0)
 
@@ -143,15 +151,17 @@ def refine(
     # --- split: 2 children sampled from the parent gaussian, scales/1.6,
     # parent culled (vanilla.py:333-361)
     src_order_split = jnp.argsort(~split_mask)
-    unit_q = quat_normalize(params.quats)
+    unit_q = quat_normalize(gauss.quats)
 
     def split_children(k):
         eps = jax.random.normal(k, (cap, 3)) * scales
-        child_means = params.means + quat_rotate(unit_q, eps)
-        return params._replace(
-            means=child_means,
-            log_scales=params.log_scales - jnp.log(cfg.split_scale_fac),
+        child_gauss = gauss._replace(
+            means=gauss.means + quat_rotate(unit_q, eps),
+            log_scales=gauss.log_scales - jnp.log(cfg.split_scale_fac),
         )
+        if is_plain:
+            return child_gauss
+        return (child_gauss,) + tuple(params[1:])
 
     k1, k2 = jax.random.split(key)
     offset = n_dup

@@ -1,0 +1,152 @@
+"""S3-flavor training orchestration: two-stage loop (coarse static ->
+fine with the global deformation field), densify/prune on the single
+gaussian soup, KNN refresh for the embedding reg.
+
+The L5 layer of the S3 path (S3Gaussian/train.py scene_reconstruction:
+170-441: stage switch at coarse_iterations, densify/prune/reset at
+:404-426, checkpoint + eval at :431-441).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..motion.embedding_reg import knn_graph
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger, setup_logging
+from .densify import DensifyConfig, refine, reset_opacity
+from .optim import AdamState
+from .s3_trainer import (
+    S3Params,
+    S3TrainConfig,
+    S3TrainState,
+    create_s3_train_state,
+    s3_train_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class S3LoopConfig:
+    coarse_iters: int = 5000
+    max_steps: int = 55_000
+    refine_start: int = 500
+    refine_interval: int = 100
+    refine_stop: int = 15_000
+    reset_opacity_interval: int = 3000
+    knn_refresh_interval: int = 1000
+    log_interval: int = 50
+    ckpt_interval: int = 20_000
+    test_stride: int = 10
+    seed: int = 0
+
+
+def _gauss_opt(state: S3TrainState) -> AdamState:
+    return AdamState(mu=state.opt.mu.gauss, nu=state.opt.nu.gauss,
+                     step=state.opt.step)
+
+
+def _set_gauss(state: S3TrainState, gauss, opt_g, alive, dstate):
+    return state._replace(
+        params=state.params._replace(gauss=gauss),
+        opt=state.opt._replace(
+            mu=state.opt.mu._replace(gauss=opt_g.mu),
+            nu=state.opt.nu._replace(gauss=opt_g.nu)),
+        alive=alive, dstate=dstate)
+
+
+def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
+           loop: S3LoopConfig = S3LoopConfig(), params_alive=None,
+           spatial_scale: float | None = None) -> S3TrainState:
+    from ..data.batches import BatchSource
+    from ..data.seeding import seed_background
+    from ..motion.hexplane import set_aabb
+    from ..motion.s3field import create_s3_field
+    from ..scene.sky import SkyCubemap
+
+    logger = setup_logging(out_dir)
+    cfg = cfg or S3TrainConfig()
+    cfg = dataclasses.replace(cfg, coarse_iters=loop.coarse_iters,
+                              max_steps=loop.max_steps)
+
+    if params_alive is None:
+        logger.info("seeding S3 gaussians from lidar ...")
+        gauss, alive = seed_background(scene, seed=loop.seed,
+                                       sh_bases=cfg.field.sh_bases)
+        lo, hi = scene.aabb()
+        field = create_s3_field(jax.random.PRNGKey(loop.seed), cfg.field)
+        field = field._replace(hexplane=set_aabb(field.hexplane, lo, hi))
+        params = S3Params(
+            gauss=gauss,
+            embeddings=jnp.zeros(
+                (gauss.capacity, cfg.field.gaussian_embedding_dim)),
+            field=field, sky=SkyCubemap.create(512))
+    else:
+        params, alive = params_alive
+    state = create_s3_train_state(params, alive)
+    spatial_scale = spatial_scale or scene.scene_scale()
+
+    source = BatchSource(scene, test_stride=loop.test_stride,
+                        seed=loop.seed)
+    metrics_log = MetricLogger(out_dir)
+    key = jax.random.PRNGKey(loop.seed)
+
+    for step in range(loop.max_steps):
+        if step % loop.knn_refresh_interval == 0:
+            idx, w = knn_graph(np.asarray(state.params.gauss.means),
+                               np.asarray(state.alive), k=8)
+            state = state._replace(knn=(jnp.asarray(idx), jnp.asarray(w)))
+
+        fine = step >= loop.coarse_iters
+        vi, f, c, batch = source.next_train("s3")
+        state, m = s3_train_step(state, batch, cfg, spatial_scale, fine)
+        source.report_error(vi, float(m["rgb"]))
+        metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
+        if bool(m["overflow"]):
+            logger.warning("step %d: instance budget overflow", step)
+
+        if (loop.refine_start <= step < loop.refine_stop
+                and step % loop.refine_interval == 0):
+            key, sub = jax.random.split(key)
+            # densify (gauss ++ embeddings) together so children inherit
+            # their parent's motion embedding (the reference carries
+            # _embedding through densification, gaussian_model.py:479-556)
+            combined = (state.params.gauss, state.params.embeddings)
+            opt_c = AdamState(
+                mu=(state.opt.mu.gauss, state.opt.mu.embeddings),
+                nu=(state.opt.nu.gauss, state.opt.nu.embeddings),
+                step=state.opt.step)
+            out = refine(sub, combined, state.alive, opt_c, state.dstate,
+                         DensifyConfig(), spatial_scale)
+            gauss, emb = out.params
+            state = state._replace(
+                params=state.params._replace(gauss=gauss, embeddings=emb),
+                opt=state.opt._replace(
+                    mu=state.opt.mu._replace(gauss=out.opt.mu[0],
+                                             embeddings=out.opt.mu[1]),
+                    nu=state.opt.nu._replace(gauss=out.opt.nu[0],
+                                             embeddings=out.opt.nu[1])),
+                alive=out.alive, dstate=out.dstate)
+            logger.info("refine@%d: split %d dup %d culled %d alive %d",
+                        step, int(out.n_split), int(out.n_dup),
+                        int(out.n_culled), int(jnp.sum(out.alive)))
+
+        if (0 < step < loop.refine_stop
+                and step % loop.reset_opacity_interval == 0):
+            g, opt_g = reset_opacity(state.params.gauss, _gauss_opt(state))
+            state = _set_gauss(state, g, opt_g, state.alive, state.dstate)
+
+        if step % loop.log_interval == 0:
+            logger.info(metrics_log.line(step, loop.max_steps))
+            metrics_log.dump(step)
+        if step > 0 and step % loop.ckpt_interval == 0:
+            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                            (state.params, state.alive, state.step))
+
+    save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
+                    (state.params, state.alive, state.step))
+    return state

@@ -25,6 +25,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene_dir", type=str, default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--flavor", choices=["scene", "s3"], default="scene",
+                    help="scene = OmniRe-style scene graph; s3 = S3Gaussian-"
+                         "style global deformation field")
+    ap.add_argument("--coarse_iters", type=int, default=None,
+                    help="s3 flavor: static warmup steps (default steps//10)")
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--steps", type=int, default=30_000)
     ap.add_argument("--cams", type=int, nargs="*", default=None)
@@ -45,7 +50,8 @@ def main():
     from emd_tpu.data import BatchSource, load_scene, make_synthetic_scene
     from emd_tpu.eval import do_evaluation
     from emd_tpu.scene import SceneConfig
-    from emd_tpu.train import LoopConfig, SceneTrainConfig, fit_scene
+    from emd_tpu.train import (LoopConfig, S3LoopConfig, S3TrainConfig,
+                               SceneTrainConfig, fit_s3, fit_scene)
 
     if args.synthetic:
         scene, _ = make_synthetic_scene(n_frames=10, n_cams=2, width=128,
@@ -54,6 +60,23 @@ def main():
         assert args.scene_dir, "--scene_dir or --synthetic required"
         scene = load_scene(args.scene_dir, cams=args.cams,
                            downscale=args.downscale)
+
+    if args.flavor == "s3":
+        coarse = args.coarse_iters
+        if coarse is None:
+            coarse = max(10, args.steps // 10)
+        s3cfg = S3TrainConfig(budget=args.budget, max_steps=args.steps)
+        s3loop = S3LoopConfig(
+            coarse_iters=coarse, max_steps=args.steps,
+            test_stride=args.test_stride,
+            refine_start=min(500, args.steps // 4),
+            refine_stop=int(args.steps * 0.5),
+            refine_interval=max(10, min(100, args.steps // 20)),
+            reset_opacity_interval=max(100, args.steps // 10),
+            seed=args.seed,
+        )
+        fit_s3(scene, args.out, s3cfg, s3loop)
+        return
 
     cfg = SceneTrainConfig(
         scene=SceneConfig(budget=args.budget),
