@@ -1,5 +1,6 @@
 from .metrics import Lpips, lpips_distance, metric_suite, psnr, ssim
-from .harness import aggregate, do_evaluation, render_split, save_video
+from .harness import (aggregate, do_evaluation, render_split,
+                      render_trajectory, save_video)
 from .trajectories import (
     TRAJECTORIES,
     front_center_interp,

@@ -111,7 +111,12 @@ def save_video(renders: list[dict], path: str, fps: int = 10,
             by[(f, c)][key] if key == "rgb"
             else _colorize(by[(f, c)][key]) for c in cams], axis=1)
         out.append((np.clip(row, 0, 1) * 255).astype(np.uint8))
-    imageio.mimwrite(path, out, fps=fps)
+    try:
+        imageio.mimwrite(path, out, fps=fps)
+    except (ValueError, ImportError):
+        # no ffmpeg backend in this environment: fall back to GIF
+        alt = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(alt, out, duration=1000.0 / fps)
 
 
 def _colorize(depth: np.ndarray, pmax: float = 95.0) -> np.ndarray:
@@ -123,3 +128,36 @@ def _colorize(depth: np.ndarray, pmax: float = 95.0) -> np.ndarray:
         d = np.clip(d / max(vmax, 1e-6), 0, 1)
     x = d[..., None]
     return np.concatenate([x, 1.0 - np.abs(2 * x - 1), 1.0 - x], axis=-1)
+
+
+def render_trajectory(params, aux, cfg, K, width: int, height: int,
+                      c2ws, n_frames_scene: int, step: int = 10 ** 9,
+                      class_weights=None):
+    """Render a novel-view camera path (tools/eval.py:162-183 +
+    render_novel_views, video_utils.py:423): poses come from
+    eval.trajectories; the scene-time index advances linearly along the
+    path so dynamic actors replay while the camera deviates."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.camera import Camera
+    from ..scene.scene_graph import render_scene
+
+    render_fn = jax.jit(
+        lambda p, a, cam, f, i: render_scene(
+            p, a, cfg, cam, f, i, jnp.asarray(step), True, class_weights))
+    out = []
+    n_out = len(c2ws)
+    for i, c2w in enumerate(c2ws):
+        cam = Camera(K=jnp.asarray(K),
+                     viewmat=jnp.asarray(np.linalg.inv(c2w)),
+                     width=width, height=height)
+        f = int(round(i / max(n_out - 1, 1) * (n_frames_scene - 1)))
+        r = render_fn(params, aux, cam, jnp.asarray(f), jnp.asarray(0))
+        out.append(dict(frame=i, cam=0,
+                        rgb=np.clip(np.asarray(r.rgb), 0, 1),
+                        depth=np.asarray(r.depth),
+                        alpha=np.asarray(r.alpha)))
+    return out

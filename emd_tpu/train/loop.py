@@ -106,13 +106,17 @@ def fit_scene(
                 and step % loop.refine_interval == 0):
             key, sub = jax.random.split(key)
             out = refine(sub, state.params.background, state.aux.bg_alive,
-                         _opt_background(state), state.dstate,
+                         _opt_background(state),
+                         state.dstate["background"],
                          _densify_cfg(), scene_scale)
             state = _apply_background_refine(state, out)
             logger.info(
-                "refine@%d: split %d dup %d culled %d alive %d dropped %d",
+                "refine@%d[bg]: split %d dup %d culled %d alive %d drop %d",
                 step, int(out.n_split), int(out.n_dup), int(out.n_culled),
                 int(jnp.sum(out.alive)), int(out.n_dropped))
+            if state.params.rigid is not None:
+                key, sub = jax.random.split(key)
+                state = _refine_rigid(state, sub, scene_scale, logger, step)
 
         if (0 < step < loop.refine_stop
                 and step % loop.reset_opacity_interval == 0):
@@ -145,6 +149,51 @@ def _densify_cfg():
     return DensifyConfig()
 
 
+def _refine_rigid(state, key, scene_scale, logger, step):
+    """Densify the rigid class: gaussians + embeddings + point ids move
+    together (children inherit the parent's instance and embedding —
+    rigid.py refinement_after:278-383), then out-of-box culling
+    (rigid.py:467-476)."""
+    from ..motion.rigid import out_of_bound_mask
+    from .densify import refine
+    from .optim import AdamState
+
+    rp = state.params.rigid
+    pid = state.aux.rigid_aux.point_ids
+    combined = (rp.gauss, rp.embeddings, pid)
+    zeros_pid = jnp.zeros_like(pid)
+    opt_c = AdamState(
+        mu=(state.opt.mu.rigid.gauss, state.opt.mu.rigid.embeddings,
+            zeros_pid),
+        nu=(state.opt.nu.rigid.gauss, state.opt.nu.rigid.embeddings,
+            zeros_pid),
+        step=state.opt.step)
+    out = refine(key, combined, state.aux.rigid_alive, opt_c,
+                 state.dstate["rigid"], _densify_cfg(), 1.0)
+    gauss, emb, new_pid = out.params
+    new_aux = state.aux._replace(
+        rigid_aux=state.aux.rigid_aux._replace(point_ids=new_pid))
+    new_params = state.params._replace(
+        rigid=rp._replace(gauss=gauss, embeddings=emb))
+    oob = out_of_bound_mask(new_params.rigid, new_aux.rigid_aux)
+    new_alive = out.alive & ~oob
+    new_opt = state.opt._replace(
+        mu=state.opt.mu._replace(rigid=state.opt.mu.rigid._replace(
+            gauss=out.opt.mu[0], embeddings=out.opt.mu[1])),
+        nu=state.opt.nu._replace(rigid=state.opt.nu.rigid._replace(
+            gauss=out.opt.nu[0], embeddings=out.opt.nu[1])))
+    dstate = dict(state.dstate)
+    dstate["rigid"] = out.dstate
+    logger.info(
+        "refine@%d[rigid]: split %d dup %d culled %d oob %d alive %d",
+        step, int(out.n_split), int(out.n_dup), int(out.n_culled),
+        int(jnp.sum(oob & out.alive)), int(jnp.sum(new_alive)))
+    return state._replace(
+        params=new_params,
+        aux=new_aux._replace(rigid_alive=new_alive),
+        opt=new_opt, dstate=dstate)
+
+
 def _opt_background(state: SceneTrainState):
     from .optim import AdamState
     return AdamState(mu=state.opt.mu.background, nu=state.opt.nu.background,
@@ -152,8 +201,9 @@ def _opt_background(state: SceneTrainState):
 
 
 def _apply_background_refine(state: SceneTrainState, out):
-    return _set_background(state, out.params, out.opt, out.alive,
-                           out.dstate)
+    dstate = dict(state.dstate)
+    dstate["background"] = out.dstate
+    return _set_background(state, out.params, out.opt, out.alive, dstate)
 
 
 def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,

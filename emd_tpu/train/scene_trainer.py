@@ -83,7 +83,7 @@ class SceneTrainState(NamedTuple):
     params: SceneParams
     aux: SceneAux
     opt: AdamState
-    dstate: DensifyState          # background class
+    dstate: Any                   # dict[class -> DensifyState]
     knn: Any                      # dict of cached (idx, w) per class or None
     step: jax.Array
 
@@ -157,10 +157,13 @@ def scene_lr_tree(params: SceneParams, cfg: SceneTrainConfig, step,
 
 def create_scene_train_state(params: SceneParams, aux: SceneAux
                              ) -> SceneTrainState:
+    dstate = {"background": DensifyState.create(params.background.capacity)}
+    if params.rigid is not None:
+        dstate["rigid"] = DensifyState.create(
+            params.rigid.gauss.capacity)
     return SceneTrainState(
         params=params, aux=aux, opt=adam_init(params),
-        dstate=DensifyState.create(params.background.capacity),
-        knn=None, step=jnp.zeros((), jnp.int32),
+        dstate=dstate, knn=None, step=jnp.zeros((), jnp.int32),
     )
 
 
@@ -233,11 +236,18 @@ def scene_train_step(state: SceneTrainState, batch: SceneBatch,
     lrs = scene_lr_tree(state.params, cfg, state.step, scene_scale)
     new_params, new_opt = adam_update(gparams, state.opt, state.params, lrs)
 
-    # densify stats: background segment only (controller scope this round)
+    # densify stats per controlled class (background + rigid segments)
     cb = state.params.background.capacity
     cam = batch.camera
-    dstate = accumulate_stats(state.dstate, gm2d[:cb],
-                              aux_out["radii"][:cb], cam.width, cam.height)
+    dstate = dict(state.dstate)
+    dstate["background"] = accumulate_stats(
+        state.dstate["background"], gm2d[:cb], aux_out["radii"][:cb],
+        cam.width, cam.height)
+    if "rigid" in state.dstate:
+        cr = state.params.rigid.gauss.capacity
+        dstate["rigid"] = accumulate_stats(
+            state.dstate["rigid"], gm2d[cb:cb + cr],
+            aux_out["radii"][cb:cb + cr], cam.width, cam.height)
 
     new_state = state._replace(params=new_params, opt=new_opt,
                                dstate=dstate, step=state.step + 1)

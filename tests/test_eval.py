@@ -86,3 +86,22 @@ def test_do_evaluation_end_to_end(tmp_path):
     assert np.isfinite(results["test"]["psnr"])
     assert (tmp_path / "eval" / "metrics.json").exists()
     assert aggregate([{"a": 1.0}, {"a": 3.0}])["a"] == 2.0
+
+
+def test_render_trajectory_and_video(tmp_path):
+    from emd_tpu.eval import render_trajectory, save_video
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=64,
+                                    height=32, n_lidar=400)
+    params, aux = build_scene_params(scene, n_lidar=400, n_random=100,
+                                     sky_resolution=16, with_smpl=False)
+    cfg = SceneConfig(budget=1 << 14, interpret=True)
+    traj = get_novel_trajectory(scene.cam_to_worlds[:, 0],
+                                "change_lane_left", n_out=4)
+    renders = render_trajectory(params, aux, cfg, scene.intrinsics[0],
+                                64, 32, traj, scene.num_frames)
+    assert len(renders) == 4
+    assert renders[0]["rgb"].shape == (32, 64, 3)
+    out = str(tmp_path / "traj.mp4")
+    save_video(renders, out, fps=4)
+    assert ((tmp_path / "traj.mp4").exists()
+            or (tmp_path / "traj.gif").exists())

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="run full evaluation after training")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--config", type=str, nargs="*", default=None,
+                    help="YAML config file(s), e.g. configs/omnire.yaml")
+    ap.add_argument("--set", dest="overrides", type=str, nargs="*",
+                    default=[], help="dotlist overrides: a.b.c=value")
     args = ap.parse_args()
 
     import jax
@@ -61,11 +65,18 @@ def main():
         scene = load_scene(args.scene_dir, cams=args.cams,
                            downscale=args.downscale)
 
+    from emd_tpu.utils import config_from_files
+
     if args.flavor == "s3":
         coarse = args.coarse_iters
         if coarse is None:
             coarse = max(10, args.steps // 10)
-        s3cfg = S3TrainConfig(budget=args.budget, max_steps=args.steps)
+        if args.config:
+            s3cfg = config_from_files(S3TrainConfig, args.config,
+                                      args.overrides)
+            s3cfg = dataclasses.replace(s3cfg, max_steps=args.steps)
+        else:
+            s3cfg = S3TrainConfig(budget=args.budget, max_steps=args.steps)
         s3loop = S3LoopConfig(
             coarse_iters=coarse, max_steps=args.steps,
             test_stride=args.test_stride,
@@ -78,10 +89,15 @@ def main():
         fit_s3(scene, args.out, s3cfg, s3loop)
         return
 
-    cfg = SceneTrainConfig(
-        scene=SceneConfig(budget=args.budget),
-        max_steps=args.steps,
-    )
+    if args.config:
+        cfg = config_from_files(SceneTrainConfig, args.config,
+                                args.overrides)
+        cfg = dataclasses.replace(cfg, max_steps=args.steps)
+    else:
+        cfg = SceneTrainConfig(
+            scene=SceneConfig(budget=args.budget),
+            max_steps=args.steps,
+        )
     loop = LoopConfig(
         max_steps=args.steps,
         test_stride=args.test_stride,
