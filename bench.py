@@ -30,7 +30,7 @@ def main():
     params, alive = _toy_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
-    cfg = TrainConfig(budget=4 << 20)
+    cfg = TrainConfig(budget=2 << 20)
 
     def loss_fn(params):
         out = render_params(params, alive, cam, jnp.ones((16,)), cfg)

@@ -21,7 +21,12 @@ from .scene_data import SceneData, split_train_test
 
 
 class BatchSource:
-    """Precomputes per-view depth maps; serves SceneBatch / S3Batch."""
+    """Precomputes per-view depth maps; serves SceneBatch / S3Batch.
+
+    `downscale` implements the reference's resolution warm-up
+    (omnire.yaml res_schedule: training starts at 1/2^d resolution and
+    doubles every double_steps): images/masks/depths are area-downsampled
+    and intrinsics rescaled on the fly (cached per factor)."""
 
     def __init__(self, scene: SceneData, test_stride: int = 10,
                  with_depth: bool = True, seed: int = 0):
@@ -34,6 +39,8 @@ class BatchSource:
         self.sampler = ErrorBufferSampler(np.arange(len(views)), seed=seed)
         h, w = scene.image_hw
         self.depths = None
+        self.downscale = 1
+        self._pyramid: dict = {}
         if with_depth and scene.lidar_points is not None:
             self.depths = np.zeros(
                 (scene.num_frames, scene.num_cams, h, w), np.float32)
@@ -43,33 +50,67 @@ class BatchSource:
                         scene.lidar_points[f], scene.intrinsics[c],
                         scene.cam_to_worlds[f, c], w, h)
 
+    def set_downscale(self, factor: int) -> None:
+        self.downscale = max(1, int(factor))
+
+    def _level(self, f, c):
+        """(rgb, depth, sky, dyn) at the current downscale, cached."""
+        d = self.downscale
+        s = self.scene
+        if d == 1:
+            return (s.images[f, c],
+                    self.depths[f, c] if self.depths is not None else None,
+                    s.sky_masks[f, c] if s.sky_masks is not None else None,
+                    s.dynamic_masks[f, c]
+                    if s.dynamic_masks is not None else None)
+        key = (d, f, c)
+        if key not in self._pyramid:
+            import cv2
+            h, w = s.image_hw
+            nh, nw = h // d, w // d
+            rgb = cv2.resize(s.images[f, c], (nw, nh),
+                             interpolation=cv2.INTER_AREA)
+            dep = None
+            if self.depths is not None:
+                dep = self.depths[f, c][::d, ::d][:nh, :nw]
+            sky = dyn = None
+            if s.sky_masks is not None:
+                sky = s.sky_masks[f, c][::d, ::d][:nh, :nw]
+            if s.dynamic_masks is not None:
+                dyn = s.dynamic_masks[f, c][::d, ::d][:nh, :nw]
+            self._pyramid[key] = (rgb, dep, sky, dyn)
+        return self._pyramid[key]
+
     def camera(self, f: int, c: int) -> Camera:
         h, w = self.scene.image_hw
+        d = self.downscale
+        K = self.scene.intrinsics[c].copy()
+        if d > 1:
+            K = K.copy()
+            K[:2] /= d
         return Camera(
-            K=jnp.asarray(self.scene.intrinsics[c]),
+            K=jnp.asarray(K),
             viewmat=jnp.asarray(
                 np.linalg.inv(self.scene.cam_to_worlds[f, c])),
-            width=w, height=h)
+            width=w // d, height=h // d)
 
     def _common(self, f, c):
-        s = self.scene
+        rgb, dep, sky, _ = self._level(f, c)
         return dict(
             camera=self.camera(f, c),
-            rgb=jnp.asarray(s.images[f, c]),
-            depth=(jnp.asarray(self.depths[f, c])
-                   if self.depths is not None else None),
-            sky_mask=(jnp.asarray(s.sky_masks[f, c])
-                      if s.sky_masks is not None else None),
+            rgb=jnp.asarray(rgb),
+            depth=jnp.asarray(dep) if dep is not None else None,
+            sky_mask=jnp.asarray(sky) if sky is not None else None,
         )
 
     def scene_batch(self, f: int, c: int) -> SceneBatch:
         s = self.scene
         kw = self._common(f, c)
+        dyn = self._level(f, c)[3]
         return SceneBatch(
             frame_idx=jnp.asarray(f),
             img_idx=jnp.asarray(f * s.num_cams + c),
-            dynamic_mask=(jnp.asarray(s.dynamic_masks[f, c])
-                          if s.dynamic_masks is not None else None),
+            dynamic_mask=jnp.asarray(dyn) if dyn is not None else None,
             **kw)
 
     def s3_batch(self, f: int, c: int) -> S3Batch:

@@ -97,7 +97,8 @@ def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
         inst = jnp.take(packed, binning.gid, axis=1)
         tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
                                 interpret)
-        rgb, depth, alpha = tiles_to_image(tiles, ntx, nty, width, height)
+        rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,
+                                              height)
 
         loss = (cfg.w_rgb * losses.l1(rgb, batch.rgb[0])
                 + cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb[0]))

@@ -75,3 +75,4 @@ from .deformgs import (
     deformgs_at_time,
     merf_contract,
 )
+from .hash_encoding import HashEncoding, create_hash_encoding, hash_encode

@@ -33,9 +33,11 @@ skipped, alpha is clamped at 0.99, and gradients are zeroed where clamped.
 Instance packing (fields-major (16, M_pad) f32 so chunk DMAs slice along
 128-aligned lanes):
   [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
-  [5:8] rgb  [8] opacity [9] depth  [10:16] zero padding
+  [5:8] rgb  [8] opacity [9] depth  [10:13] feature (optional; the S3
+  DINO-distillation channels, rendered through the same compositing
+  weights — gaussian_renderer/__init__.py:170-201) [13:16] zero padding
 Output channels (per tile, (8, 1024)):
-  [0:3] rgb  [3] accumulated depth  [4] alpha  [5:8] unused
+  [0:3] rgb  [3] accumulated depth  [4] alpha  [5:8] rendered feature
 """
 from __future__ import annotations
 
@@ -57,20 +59,24 @@ HP = jax.lax.Precision.HIGHEST
 CHUNK_STATIC = 128
 
 
-def pack_instances(means2d, conics, colors, opacities, depths) -> jax.Array:
+def pack_instances(means2d, conics, colors, opacities, depths,
+                   features=None) -> jax.Array:
     """Per-gaussian attributes (N, ...) -> packed fields-major (16, N) f32.
 
     Fields-major so the kernels' per-chunk DMA slices run along the (lane)
     instance axis in 128-aligned pieces — Mosaic requires lane-aligned
     slicing, and chunk-aligned segments guarantee it."""
     n = means2d.shape[0]
-    z = jnp.zeros((6, n), jnp.float32)
+    feat = (jnp.zeros((3, n), jnp.float32) if features is None
+            else features.astype(jnp.float32).T)
+    z = jnp.zeros((3, n), jnp.float32)
     return jnp.concatenate([
         means2d.astype(jnp.float32).T,
         conics.astype(jnp.float32).T,
         colors.astype(jnp.float32).T,
         opacities.astype(jnp.float32)[None, :],
         depths.astype(jnp.float32)[None, :],
+        feat,
         z,
     ], axis=0)
 
@@ -95,7 +101,8 @@ def _alpha_terms(data, px, py):
     logom = jnp.log1p(-alpha)
     return dict(dx=dx, dy=dy, g=g, opa=opa, ca=ca, cb=cb, cc=cc,
                 alpha=alpha, live=live, logom=logom,
-                colors=data[:, 5:8], depth=data[:, 9:10])
+                colors=data[:, 5:8], depth=data[:, 9:10],
+                feat=data[:, 10:13])
 
 
 def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
@@ -141,11 +148,11 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
         _chunk_dma(inst_ref, buf, sem, start, 0, chunk, 0).start()
 
     def cond(carry):
-        c, s, rgb, dep = carry
+        c, s, rgb, dep, fea = carry
         return (c < nchunks) & (jnp.max(s) > jnp.log(T_EPS))
 
     def body(carry):
-        c, s, rgb, dep = carry
+        c, s, rgb, dep, fea = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -164,14 +171,18 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
         dep = dep + jnp.dot(terms["depth"].T, w,
                             preferred_element_type=jnp.float32,
                             precision=HP)
+        fea = fea + jnp.dot(terms["feat"].T, w,
+                            preferred_element_type=jnp.float32,
+                            precision=HP)
         s = s + cum_in[chunk - 1:chunk, :]
-        return c + 1, s, rgb, dep
+        return c + 1, s, rgb, dep, fea
 
     init = (jnp.zeros((), jnp.int32),
             jnp.zeros((1, NPX), jnp.float32),
             jnp.zeros((3, NPX), jnp.float32),
-            jnp.zeros((1, NPX), jnp.float32))
-    c_end, s, rgb, dep = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((1, NPX), jnp.float32),
+            jnp.zeros((3, NPX), jnp.float32))
+    c_end, s, rgb, dep, fea = jax.lax.while_loop(cond, body, init)
 
     # drain: an early exit leaves the prefetch of chunk c_end in flight; an
     # unwaited DMA would corrupt the next tile's buffer reuse.
@@ -183,7 +194,7 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = dep
     out_ref[0, 4:5, :] = 1.0 - jnp.exp(s)
-    out_ref[0, 5:8, :] = jnp.zeros((3, NPX), jnp.float32)
+    out_ref[0, 5:8, :] = fea
 
 
 # ----------------------------------------------------------------------------
@@ -200,6 +211,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
     galp = gout_ref[0, 4:5, :]       # (1, NPX)
+    gfea = gout_ref[0, 5:8, :]       # (3, NPX)
     t_fin = 1.0 - out_res_ref[0, 4:5, :]
 
     @pl.when(nchunks > 0)
@@ -276,6 +288,8 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
         w = alpha * t_g
         wbar = jnp.dot(terms["colors"], grgb,
                        preferred_element_type=jnp.float32, precision=HP) \
+            + jnp.dot(terms["feat"], gfea,
+                      preferred_element_type=jnp.float32, precision=HP) \
             + terms["depth"] * gdep                         # (C, NPX)
         ww = w * wbar
         # suffix-exclusive sum along C: chunk total - inclusive
@@ -300,7 +314,9 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
                     precision=HP),
             rsum(terms["g"] * abar),                         # d opacity
             rsum(w * gdep),                                  # d depth
-            jnp.zeros((chunk, 6), jnp.float32),
+            jnp.dot(w, gfea.T, preferred_element_type=jnp.float32,
+                    precision=HP),                           # d feature
+            jnp.zeros((chunk, 3), jnp.float32),
         ], axis=1)                                           # (C, 16)
         gslot = jax.lax.rem(k, 2)
         gbuf[gslot] = gmat.T
@@ -407,4 +423,5 @@ def tiles_to_image(tiles: jax.Array, ntx: int, nty: int,
     rgb = jnp.transpose(t[0:3, :height, :width], (1, 2, 0))
     depth = t[3, :height, :width]
     alpha = t[4, :height, :width]
-    return rgb, depth, alpha
+    feat = jnp.transpose(t[5:8, :height, :width], (1, 2, 0))
+    return rgb, depth, alpha, feat

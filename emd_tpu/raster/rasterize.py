@@ -37,6 +37,8 @@ class RasterOut(NamedTuple):
     rgb: jax.Array        # (H, W, 3)
     depth: jax.Array      # (H, W) accumulated expected depth
     alpha: jax.Array      # (H, W)
+    feat: jax.Array       # (H, W, 3) rendered feature channels (zeros if
+                          # no per-gaussian features were passed)
     proj: Projected       # per-gaussian screen quantities (radii for ctrl)
     binning: Binning      # instance layout (num_instances, overflow)
 
@@ -51,6 +53,7 @@ def rasterize(
     budget: int,
     antialiased: bool = False,
     means2d_offset: jax.Array | None = None,
+    features: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> RasterOut:
     """Differentiable 3DGS render of one camera. `budget` is the static
@@ -74,7 +77,7 @@ def rasterize(
 
     packed = pack_instances(
         means2d, proj.conics, colors,
-        opacities * proj.compensation, proj.depths,
+        opacities * proj.compensation, proj.depths, features,
     )  # fields-major (16, N)
     packed = jnp.concatenate(
         [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
@@ -82,6 +85,7 @@ def rasterize(
 
     ntx, nty = num_tiles(cam.width, cam.height, TILE)
     tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret)
-    rgb, depth, alpha = tiles_to_image(tiles, ntx, nty, cam.width, cam.height)
-    return RasterOut(rgb=rgb, depth=depth, alpha=alpha, proj=proj,
-                     binning=binning)
+    rgb, depth, alpha, feat = tiles_to_image(tiles, ntx, nty, cam.width,
+                                             cam.height)
+    return RasterOut(rgb=rgb, depth=depth, alpha=alpha, feat=feat,
+                     proj=proj, binning=binning)

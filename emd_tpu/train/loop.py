@@ -36,6 +36,10 @@ from .trainer import TrainConfig
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
     max_steps: int = 30_000
+    # resolution warm-up (omnire.yaml res_schedule: start at 1/2^d, double
+    # every double_steps)
+    downscale_times: int = 0
+    double_steps: int = 250
     refine_start: int = 500
     refine_interval: int = 100
     refine_stop: int = 15_000
@@ -84,6 +88,10 @@ def fit_scene(
     key = jax.random.PRNGKey(loop.seed)
 
     for step in range(loop.max_steps):
+        if loop.downscale_times > 0:
+            level = max(0, loop.downscale_times - step // loop.double_steps)
+            source.set_downscale(1 << level)
+
         # KNN refresh BEFORE the step: the first refresh changes the state
         # pytree (None -> arrays), so doing it up-front avoids a retrace.
         if (state.params.rigid is not None

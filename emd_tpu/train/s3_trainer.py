@@ -66,6 +66,7 @@ class S3TrainConfig:
     w_dr: float = 0.001
     w_do: float = 0.001
     w_dshs: float = 0.001
+    w_feat: float = 0.1
     w_plane_tv: float = 1e-4
     w_time_smooth: float = 1e-3
     w_time_l1: float = 1e-4
@@ -90,6 +91,8 @@ class S3Batch(NamedTuple):
     cam_no: jax.Array                 # camera index (time-offset table)
     depth: jax.Array | None = None
     sky_mask: jax.Array | None = None
+    feat: jax.Array | None = None     # (H, W, 3) DINO-PCA target
+                                      # (S3 train.py:313-324 feat loss)
 
 
 class S3TrainState(NamedTuple):
@@ -170,9 +173,12 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
     colors = eval_sh(shs, dirs, deg)
     opac = jnp.where(alive, jax.nn.sigmoid(logit_op), 0.0)
 
+    features = deform.feat if (deform is not None
+                               and deform.feat is not None) else None
     out = rasterize(means, quats, jnp.exp(log_scales), opac, colors, cam,
                     budget=cfg.budget, antialiased=cfg.antialiased,
-                    means2d_offset=means2d_offset, interpret=cfg.interpret)
+                    means2d_offset=means2d_offset, features=features,
+                    interpret=cfg.interpret)
     rgb = out.rgb
     sky_rgb = None
     if params.sky is not None:
@@ -201,6 +207,9 @@ def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
                 out.alpha, batch.sky_mask)
         if cfg.w_entropy > 0:
             ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
+        if (cfg.w_feat > 0 and batch.feat is not None and fine_stage
+                and deform is not None and deform.feat is not None):
+            ld["feat"] = cfg.w_feat * losses.l1(out.feat, batch.feat)
         if fine_stage and deform is not None:
             ld["dx"] = cfg.w_dx * jnp.mean(jnp.abs(deform.dx_total))
             ld["ds"] = cfg.w_ds * jnp.mean(jnp.abs(deform.scales_delta))

@@ -230,3 +230,24 @@ def test_embedding_knn_reg():
     loss0 = embedding_knn_loss(jnp.ones((100, 4)), jnp.asarray(idx),
                                jnp.asarray(w))
     np.testing.assert_allclose(float(loss0), 0.0, atol=1e-7)
+
+
+def test_hash_encoding():
+    from emd_tpu.motion import create_hash_encoding, hash_encode
+    enc = create_hash_encoding(jax.random.PRNGKey(0), n_input_dims=4,
+                               n_levels=4, n_features=2,
+                               base_resolution=4, max_resolution=32,
+                               log2_hashmap_size=10)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (50, 4))
+    f = hash_encode(enc, x)
+    assert f.shape == (50, 8)
+    assert bool(jnp.all(jnp.isfinite(f)))
+    # continuity: a tiny perturbation moves features only slightly
+    f2 = hash_encode(enc, x + 1e-5)
+    assert float(jnp.abs(f2 - f).max()) < 1e-2
+    # distinct inputs map to distinct features (with high probability)
+    assert float(jnp.abs(f[0] - f[1]).max()) > 0
+    # differentiable wrt tables
+    g = jax.grad(lambda t: jnp.sum(
+        hash_encode(enc._replace(tables=t), x) ** 2))(enc.tables)
+    assert float(jnp.abs(g).max()) > 0

@@ -156,3 +156,25 @@ def test_opaque_overdraw_saturates():
     assert float(out.alpha[cy, cx]) > 0.999
     assert float(out.rgb[cy, cx, 0]) > 0.9
     assert float(out.rgb[cy, cx, 1]) < 0.05
+
+
+def test_feature_channels_composite_like_colors():
+    """Per-gaussian features ride the same compositing weights as colors
+    (the S3 DINO feature-render path)."""
+    cam = small_cam(64, 64)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(9),
+                                                      80)
+    feats = jax.random.uniform(jax.random.PRNGKey(10), (80, 3))
+    from emd_tpu.raster import rasterize as R
+    out = R(means, quats, scales, opac, colors, cam, budget=4096,
+            features=feats, interpret=True)
+    # rendering feats as colors must equal the feat channels
+    out2 = R(means, quats, scales, opac, feats, cam, budget=4096,
+             interpret=True)
+    np.testing.assert_allclose(np.asarray(out.feat), np.asarray(out2.rgb),
+                               atol=1e-5)
+    # and gradients flow to features
+    g = jax.grad(lambda f: jnp.sum(R(
+        means, quats, scales, opac, colors, cam, budget=4096,
+        features=f, interpret=True).feat ** 2))(feats)
+    assert float(jnp.abs(g).max()) > 0
