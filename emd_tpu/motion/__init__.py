@@ -76,3 +76,10 @@ from .deformgs import (
     merf_contract,
 )
 from .hash_encoding import HashEncoding, create_hash_encoding, hash_encode
+from .voxel_deformer import (
+    VoxelDeformer,
+    corrected_weights,
+    voxel_magnitude_loss,
+    voxel_tv_loss,
+)
+from .smpl import knn_consistency_reg, x_offset_reg

@@ -57,6 +57,8 @@ class SmplParams(NamedTuple):
     rigid: RigidParams        # root track + canonical gaussians + EMD state
     smpl_quats: jax.Array     # (F, I, 24, 4) per-frame body pose
     smpl_heads: EmdHeads      # rot heads emit 24 yaw angles (trans unused)
+    voxel: object | None = None  # optional VoxelDeformer LBS correction
+                                 # (modules.py:459-669)
 
 
 class SmplAux(NamedTuple):
@@ -268,6 +270,9 @@ def smpl_world_gaussians(params: SmplParams, aux: SmplAux, alive,
     jR, jt = jax.vmap(per_instance)(body)                    # (I,24,3,3/3)
 
     w = aux.template.lbs_weights                              # (C, 24)
+    if params.voxel is not None:
+        from .voxel_deformer import corrected_weights
+        w = corrected_weights(params.voxel, rp.gauss.means, w)
     R_blend = jnp.einsum("cj,cjab->cab", w, jR[pid])
     t_blend = jnp.einsum("cj,cja->ca", w, jt[pid])
     posed = jnp.einsum("cab,cb->ca", R_blend, rp.gauss.means) + t_blend
@@ -287,3 +292,35 @@ def joint_smoothness_reg(params: SmplParams) -> jax.Array:
     q = quat_normalize(params.smpl_quats)
     d = 1.0 - jnp.abs(jnp.sum(q[1:] * q[:-1], axis=-1))     # (F-1, I, 24)
     return jnp.mean(d)
+
+
+def knn_consistency_reg(params: SmplParams, nn_idx: jax.Array,
+                        nn_w: jax.Array) -> jax.Array:
+    """Neighbourhood std of appearance/shape attributes — pulls nearby
+    canonical gaussians toward consistent shs/opacity/scale/quats
+    (smpl.py:653-694). Uses the cached KNN graph (emd_tpu.motion
+    .embedding_reg.knn_graph)."""
+    g = params.rigid.gauss
+
+    def nstd(x):
+        flat = x.reshape(x.shape[0], -1)
+        neigh = flat[nn_idx]                     # (C, k, D)
+        var = jnp.var(neigh, axis=1)
+        w = (jnp.sum(nn_w, axis=1) > 0).astype(jnp.float32)
+        return jnp.sum(jnp.mean(var, -1) * w) / jnp.maximum(jnp.sum(w), 1.)
+
+    return (nstd(g.sh_dc) + nstd(g.logit_opacities[:, None])
+            + nstd(g.log_scales) + nstd(quat_normalize(g.quats)))
+
+
+def x_offset_reg(params: SmplParams, aux: SmplAux, alive) -> jax.Array:
+    """Penalize canonical gaussians drifting off the template skeleton
+    (smpl.py:702-709): squared distance beyond a small free radius to the
+    nearest rest joint."""
+    d = jnp.linalg.norm(
+        params.rigid.gauss.means[:, None, :]
+        - aux.template.rest_joints[None], axis=-1)
+    dmin = jnp.min(d, axis=1)
+    pen = jnp.maximum(dmin - 0.3, 0.0) ** 2
+    w = alive.astype(jnp.float32)
+    return jnp.sum(pen * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -129,3 +129,46 @@ def test_smpl_differentiable():
     assert bool(jnp.all(jnp.isfinite(g.smpl_quats)))
     assert float(jnp.abs(g.smpl_quats).max()) > 0.0
     assert bool(jnp.all(jnp.isfinite(g.rigid.gauss.means)))
+
+
+def test_voxel_deformer_correction():
+    from emd_tpu.motion import (VoxelDeformer, corrected_weights,
+                                voxel_magnitude_loss, voxel_tv_loss)
+    params, aux, alive, tmpl, pts = _make_smpl(jax.random.PRNGKey(0))
+    vd = VoxelDeformer.create(lo=[-1, -1, -1], hi=[1, 1, 1],
+                              resolution=(8, 8, 8))
+    # zero grid -> identical weights
+    w0 = corrected_weights(vd, params.rigid.gauss.means,
+                           aux.template.lbs_weights)
+    np.testing.assert_allclose(np.asarray(w0),
+                               np.asarray(aux.template.lbs_weights),
+                               atol=1e-6)
+    # nonzero grid changes weights but keeps them normalized
+    vd2 = vd._replace(grid=vd.grid.at[..., 0].set(0.5))
+    w1 = corrected_weights(vd2, params.rigid.gauss.means,
+                           aux.template.lbs_weights)
+    np.testing.assert_allclose(np.asarray(w1.sum(1)), 1.0, atol=1e-5)
+    assert float(jnp.abs(w1 - w0).max()) > 0.01
+    assert float(voxel_tv_loss(vd2)) >= 0.0
+    assert float(voxel_magnitude_loss(vd2)) > 0.0
+    # wiring: voxel-equipped SMPL still renders and stays finite
+    p2 = params._replace(voxel=vd2)
+    wm, wq, vis = smpl_world_gaussians(p2, aux, alive, jnp.array(1),
+                                       jnp.array(0))
+    assert bool(jnp.all(jnp.isfinite(wm)))
+
+
+def test_smpl_consistency_regs():
+    from emd_tpu.motion import knn_consistency_reg, x_offset_reg
+    from emd_tpu.motion.embedding_reg import knn_graph
+    params, aux, alive, tmpl, pts = _make_smpl(jax.random.PRNGKey(0))
+    idx, w = knn_graph(np.asarray(pts), np.asarray(alive), k=4)
+    r = knn_consistency_reg(params, jnp.asarray(idx), jnp.asarray(w))
+    assert float(r) >= 0.0 and np.isfinite(float(r))
+    x = x_offset_reg(params, aux, alive)
+    assert float(x) >= 0.0
+    # a far-off gaussian increases the offset reg
+    g = params.rigid.gauss
+    params2 = params._replace(rigid=params.rigid._replace(
+        gauss=g._replace(means=g.means.at[0].set(jnp.array([5., 5., 5.])))))
+    assert float(x_offset_reg(params2, aux, alive)) > float(x)
