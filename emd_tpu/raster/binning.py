@@ -62,7 +62,11 @@ def _segment_fill(positions, values, valid, length):
     """Write values at ascending `positions` (N-scatter), then propagate
     each value forward until the next written position (last-valid
     associative scan). `values` is a tuple of (N,) int32 arrays; returns
-    the filled (length,) arrays. Invalid writers go to a dump slot."""
+    the filled (length,) arrays. Invalid writers go to a dump slot.
+
+    Kept as a TUPLE-carry scan over 1-D arrays: a packed 2-D
+    (length, k) variant measured pathologically slow to compile on the
+    TPU backend (>25 min vs ~2 min)."""
     pos = jnp.where(valid, positions, length)
     bufs = [jnp.zeros((length + 1,), jnp.int32).at[pos].set(v)
             for v in values]
@@ -71,7 +75,6 @@ def _segment_fill(positions, values, valid, length):
     def combine(a, b):
         av, am = a
         bv, bm = b
-        take_b = bm[..., None] if False else bm
         return (tuple(jnp.where(bm, bv_i, av_i)
                       for av_i, bv_i in zip(av, bv)), am | bm)
 
@@ -115,11 +118,17 @@ def bin_gaussians(
     overflow = total > budget
     starts = offsets - counts                          # exclusive
 
-    # ---- expansion by segment fill (no per-slot gathers)
+    # ---- expansion by ONE segment fill (no per-slot gathers); the depth
+    # sort-key bits ride in the same packed scan
+    dbits_g = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
+    tile_bits = max(1, int(n_tiles).bit_length())
+    db = 31 - tile_bits
     gsel = jnp.arange(n, dtype=jnp.int32)
-    start_f, tx0_f, ty0_f, w_f, gid_f = _segment_fill(
+    start_f, tx0_f, ty0_f, w_f, gid_f, dkey_f = _segment_fill(
         jnp.minimum(starts, budget),
-        (starts, tx0, ty0, jnp.maximum(w_t, 1), gsel),
+        (starts, tx0, ty0, jnp.maximum(w_t, 1), gsel,
+         (dbits_g >> (32 - db)).astype(jnp.int32)),
         counts > 0, budget)
 
     slots = jnp.arange(budget, dtype=jnp.int32)
@@ -129,15 +138,6 @@ def bin_gaussians(
     tile_y = ty0_f + local // w_f
     tile_id = jnp.where(in_range, tile_y * ntx + tile_x, n_tiles)
     gid = jnp.where(in_range, gid_f, n)
-
-    # depth per slot: fill the depth bits at segment starts too
-    dbits_g = jax.lax.bitcast_convert_type(
-        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
-    tile_bits = max(1, int(n_tiles).bit_length())
-    db = 31 - tile_bits
-    (dkey_f,) = _segment_fill(jnp.minimum(starts, budget),
-                              ((dbits_g >> (32 - db)).astype(jnp.int32),),
-                              counts > 0, budget)
 
     # ---- one fused-key sort
     key = ((tile_id.astype(jnp.uint32) << db)
