@@ -1,5 +1,7 @@
 from .temporal import c2f_num_embeddings, init_temporal_grid, temporal_embed
 from .rigid import (
+    remove_instances,
+    replace_instance,
     EmdHeads,
     RigidAux,
     RigidConfig,

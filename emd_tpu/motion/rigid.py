@@ -233,3 +233,29 @@ def temporal_smoothness_reg(params: RigidParams, aux: RigidAux) -> jax.Array:
     d = params.instances_trans[1:] - params.instances_trans[:-1]   # (F-1,I,3)
     w = (aux.instances_fv[1:] & aux.instances_fv[:-1]).astype(jnp.float32)
     return jnp.sum(jnp.sum(d * d, -1) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def remove_instances(params: RigidParams, aux: RigidAux, alive: jax.Array,
+                     instance_ids) -> jax.Array:
+    """Scene-editing API: hide instances by killing their gaussians
+    (rigid.py remove_instances:748-805 — the reference zeroes/removes the
+    instance's points; with capacity+mask semantics that is an alive-mask
+    edit). Returns the new alive mask."""
+    kill = jnp.zeros_like(alive)
+    for iid in instance_ids:
+        kill = kill | (aux.point_ids == iid)
+    return alive & ~kill
+
+
+def replace_instance(params: RigidParams, aux: RigidAux,
+                     target_id: int, source_id: int) -> RigidParams:
+    """Scene-editing API: make `target_id` follow `source_id`'s appearance
+    by swapping its tracked trajectory onto the source's gaussians is the
+    reference's replace; here we instead re-point the target's track to
+    the source's (rigid.py replace_instances): the target instance's
+    per-frame poses are overwritten with the source's."""
+    q = params.instances_quats.at[:, target_id].set(
+        params.instances_quats[:, source_id])
+    t = params.instances_trans.at[:, target_id].set(
+        params.instances_trans[:, source_id])
+    return params._replace(instances_quats=q, instances_trans=t)

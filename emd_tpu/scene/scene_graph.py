@@ -39,7 +39,8 @@ from .correction import (
     correct_camtoworld,
 )
 from ..core.gaussians import GaussianParams, activate, sh_degree_mask
-from .sky import SkyCubemap, composite_sky, sample_cubemap
+from .sky import SkyCubemap, SkyMLP, composite_sky, \
+    sample_cubemap, sky_mlp_color
 
 CLASS_NAMES = ("Background", "RigidNodes", "DeformableNodes", "SMPLNodes")
 
@@ -50,7 +51,7 @@ class SceneParams(NamedTuple):
     rigid: RigidParams | None
     deformable: DeformableParams | None
     smpl: Any | None                      # SMPLParams (motion.smpl)
-    sky: SkyCubemap | None
+    sky: SkyCubemap | SkyMLP | None
     affine: AffineCorrection | None
     cam_pose: CameraPoseCorrection | None
 
@@ -208,7 +209,13 @@ def render_scene(
     rgb = out.rgb
     if params.sky is not None:
         _, viewdirs = camera_rays(cam)
-        sky_rgb = sample_cubemap(params.sky, viewdirs)
+        if isinstance(params.sky, SkyMLP):
+            # MLP sky with per-image appearance (SkyModel,
+            # modules.py:114-168; mean embedding on test frames)
+            sky_rgb = sky_mlp_color(params.sky, viewdirs, img_idx,
+                                    use_mean_embedding=in_test_set)
+        else:
+            sky_rgb = sample_cubemap(params.sky, viewdirs)
         rgb = composite_sky(rgb, out.alpha, sky_rgb)
 
     if params.affine is not None:

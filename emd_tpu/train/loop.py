@@ -104,6 +104,9 @@ def fit_scene(
 
         vi, f, c, batch = source.next_train("scene")
         state, m = scene_train_step(state, batch, cfg, scene_scale)
+        # ONE host fetch for all step metrics (each float() round-trips
+        # the remote device; fetching per-metric dominated step time)
+        m = jax.device_get(m)
         source.report_error(vi, float(m["rgb"]))
         metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
         if bool(m["overflow"]):

@@ -104,6 +104,7 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
         fine = step >= loop.coarse_iters
         vi, f, c, batch = source.next_train("s3")
         state, m = s3_train_step(state, batch, cfg, spatial_scale, fine)
+        m = jax.device_get(m)   # one host fetch for all metrics
         source.report_error(vi, float(m["rgb"]))
         metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
         if bool(m["overflow"]):

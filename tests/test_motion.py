@@ -251,3 +251,16 @@ def test_hash_encoding():
     g = jax.grad(lambda t: jnp.sum(
         hash_encode(enc._replace(tables=t), x) ** 2))(enc.tables)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_instance_editing():
+    from emd_tpu.motion import remove_instances, replace_instance
+    params, aux, alive, cfg = _make_rigid(jax.random.PRNGKey(11))
+    alive2 = remove_instances(params, aux, alive, [0])
+    assert int(alive2.sum()) == int((np.asarray(aux.point_ids) == 1).sum())
+    wm, wq, vis = rigid_world_gaussians(params, aux, alive2, jnp.array(0),
+                                        jnp.array(0), cfg)
+    assert not bool(vis[np.asarray(aux.point_ids) == 0].any())
+    p2 = replace_instance(params, aux, target_id=1, source_id=0)
+    np.testing.assert_allclose(np.asarray(p2.instances_trans[:, 1]),
+                               np.asarray(p2.instances_trans[:, 0]))

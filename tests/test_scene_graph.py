@@ -179,3 +179,18 @@ def test_scene_training_improves_dynamic_scene():
     err1 = float(jnp.abs(state.params.rigid.instances_trans
                          - truth.rigid.instances_trans).mean())
     assert err1 < err0
+
+
+def test_sky_mlp_variant():
+    from emd_tpu.scene import SkyMLP
+    params, aux = build_scene(jax.random.PRNGKey(7), with_corrections=False)
+    params = params._replace(
+        sky=SkyMLP.create(jax.random.PRNGKey(8), n_images=N_FRAMES * 2))
+    cfg = SceneConfig(budget=1 << 13, interpret=True)
+    out = render_scene(params, aux, cfg, cam_at(), jnp.array(0),
+                       jnp.array(0), jnp.array(0))
+    assert bool(jnp.all(jnp.isfinite(out.rgb)))
+    assert out.sky_rgb is not None
+    # sky varies with direction (random-init MLP)
+    s = np.asarray(out.sky_rgb)
+    assert s.std() > 1e-5

@@ -1,0 +1,85 @@
+"""Scaling-efficiency benchmark (BASELINE.md: >=80% pixels/s efficiency
+1 chip -> 1 host -> >=2 hosts).
+
+Runs the sharded training step over meshes of growing data-axis size and
+reports pixels/s and efficiency vs linear scaling. On a multi-chip host or
+pod this measures real ICI/DCN scaling; in this single-chip environment it
+can only be exercised on the virtual CPU mesh
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+python tools/bench_scaling.py --cpu), which validates the mechanics and
+collective layout, not silicon throughput.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--budget", type=int, default=1 << 18)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emd_tpu.core import look_at
+    from emd_tpu.dist import ShardedBatch, make_mesh, make_sharded_train_step
+    from emd_tpu.dist.multihost import init_multihost
+    from emd_tpu.train import TrainConfig
+    from emd_tpu.train.optim import adam_init
+    from __graft_entry__ import _toy_gaussians
+
+    init_multihost()
+    n_dev = len(jax.devices())
+    width = height = args.size
+    params, alive = _toy_gaussians(args.n)
+    opt = adam_init(params)
+    cfg = TrainConfig(budget=args.budget)
+
+    results = []
+    n_data = 1
+    while n_data <= n_dev:
+        mesh = make_mesh(n_data=n_data, n_gauss=1,
+                         devices=jax.devices()[:n_data])
+        Ks = jnp.tile(jnp.array([[0.6 * width, 0, width / 2],
+                                 [0, 0.6 * width, height / 2],
+                                 [0, 0, 1.0]]), (n_data, 1, 1))
+        vms = jnp.stack([
+            look_at((0.3 * i, 0.0, 0.0), (0.0, 0.0, 7.0),
+                    up=(0.0, -1.0, 0.0)) for i in range(n_data)])
+        batch = ShardedBatch(
+            K=Ks, viewmat=vms,
+            rgb=jnp.zeros((n_data, height, width, 3)) + 0.5)
+        step = make_sharded_train_step(mesh, cfg, width, height)
+        p, (o, a), loss = step(params, (opt, alive), batch,
+                               jnp.zeros((), jnp.int32))
+        _ = float(loss)
+        t0 = time.time()
+        for _ in range(args.iters):
+            p, (o, a), loss = step(p, (o, a), batch,
+                                   jnp.zeros((), jnp.int32))
+        _ = float(loss)
+        dt = (time.time() - t0) / args.iters
+        pix_s = n_data * width * height / dt
+        results.append(dict(n_devices=n_data, ms_per_step=dt * 1e3,
+                            pixels_per_s=pix_s))
+        n_data *= 2
+
+    base = results[0]["pixels_per_s"]
+    for r in results:
+        r["efficiency"] = r["pixels_per_s"] / (base * r["n_devices"])
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
