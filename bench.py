@@ -16,6 +16,56 @@ sys.path.insert(0, "/root/repo")
 BASELINE_PIX_S = 25e6
 
 
+def _street_gaussians(n, seed=0):
+    """Street-scale scene in camera coords (+z forward, +y down): ground
+    plane, side walls, and parked-box obstacles — opaque surfaces with
+    realistic depth complexity (the BASELINE '500k-gaussian static street
+    scene'), unlike a transparent random blob cloud."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from emd_tpu.core import random_quats, rgb_to_sh0
+    from emd_tpu.scene import empty_params
+
+    rng = np.random.RandomState(seed)
+    kinds = rng.randint(0, 5, n)
+    z = rng.uniform(3.0, 120.0, n)                    # distance along road
+    pts = np.zeros((n, 3), np.float32)
+    ground = kinds <= 1
+    pts[ground] = np.stack([
+        rng.uniform(-12, 12, ground.sum()) * (z[ground] / 30.0 + 0.3),
+        np.full(ground.sum(), 1.6), z[ground]], 1)
+    lwall = kinds == 2
+    pts[lwall] = np.stack([
+        -10.0 * (z[lwall] / 30.0 + 0.3), rng.uniform(-6, 1.6, lwall.sum()),
+        z[lwall]], 1)
+    rwall = kinds == 3
+    pts[rwall] = np.stack([
+        10.0 * (z[rwall] / 30.0 + 0.3), rng.uniform(-6, 1.6, rwall.sum()),
+        z[rwall]], 1)
+    boxes = kinds == 4
+    nb = boxes.sum()
+    centers = np.stack([rng.choice([-6.0, 6.0], nb) * (z[boxes] / 30 + 0.3),
+                        np.full(nb, 0.8), z[boxes]], 1)
+    pts[boxes] = centers + rng.uniform(-1, 1, (nb, 3)) * [2.0, 0.8, 2.0]
+
+    colors = np.clip(0.35 + 0.3 * np.sin(pts * [[0.7, 1.3, 0.2]]), 0, 1)
+    # scale with distance so screen-space footprint stays a few pixels
+    s_base = 0.004 + 0.0015 * z
+    p = empty_params(n, sh_bases=16)
+    key = jax.random.PRNGKey(seed)
+    p = p._replace(
+        means=jnp.asarray(pts),
+        log_scales=jnp.log(jnp.asarray(
+            s_base[:, None] * rng.uniform(0.5, 1.5, (n, 3)),
+            jnp.float32)),
+        quats=random_quats(key, n),
+        sh_dc=rgb_to_sh0(jnp.asarray(colors, jnp.float32)),
+        logit_opacities=jnp.full((n,), 2.2),          # opaque surfaces
+    )
+    return p, jnp.ones((n,), bool)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -23,11 +73,11 @@ def main():
     from emd_tpu.train import TrainConfig
     from emd_tpu.train.trainer import render_params, train_step, Batch, \
         create_train_state
-    from __graft_entry__ import _toy_gaussians
+    from __graft_entry__ import _toy_gaussians  # noqa: F401 (CLI debug)
 
     n = 500_000
     width, height = 1920, 1080
-    params, alive = _toy_gaussians(n)
+    params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
     cfg = TrainConfig(budget=2 << 20)

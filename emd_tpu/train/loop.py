@@ -107,6 +107,11 @@ def fit_scene(
         # ONE host fetch for all step metrics (each float() round-trips
         # the remote device; fetching per-metric dominated step time)
         m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            # hard NaN/Inf abort, like the reference (tools/train.py:266-271)
+            raise FloatingPointError(
+                f"non-finite loss at step {step}: "
+                f"{ {k: float(v) for k, v in m.items()} }")
         source.report_error(vi, float(m["rgb"]))
         metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
         if bool(m["overflow"]):

@@ -105,6 +105,8 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
         vi, f, c, batch = source.next_train("s3")
         state, m = s3_train_step(state, batch, cfg, spatial_scale, fine)
         m = jax.device_get(m)   # one host fetch for all metrics
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"non-finite loss at step {step}")
         source.report_error(vi, float(m["rgb"]))
         metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
         if bool(m["overflow"]):

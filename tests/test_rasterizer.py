@@ -178,3 +178,31 @@ def test_feature_channels_composite_like_colors():
         means, quats, scales, opac, colors, cam, budget=4096,
         features=f, interpret=True).feat ** 2))(feats)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_antialiased_mode():
+    """Antialiased mode: opacity compensation shrinks small-splat alpha
+    (gsplat's antialiased rasterize_mode, base.py:403-406)."""
+    cam = small_cam(64, 64)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(3),
+                                                      60)
+    out_plain = rasterize(means, quats, scales, opac, colors, cam,
+                          budget=4096, interpret=True)
+    out_aa = rasterize(means, quats, scales, opac, colors, cam,
+                       budget=4096, antialiased=True, interpret=True)
+    # compensation < 1 -> less alpha mass overall
+    assert float(out_aa.alpha.sum()) < float(out_plain.alpha.sum())
+    # and the oracle agrees in antialiased mode too
+    oracle, _ = render_oracle(means, quats, scales, opac, colors, cam,
+                              antialiased=True, tile_size=TILE)
+    np.testing.assert_allclose(out_aa.rgb, oracle.rgb, atol=2e-5)
+
+
+def test_budget_rounding_and_tiny_budget():
+    """Budgets that aren't multiples of the chunk still work."""
+    cam = small_cam(64, 32)
+    means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(4),
+                                                      30)
+    out = rasterize(means, quats, scales, opac, colors, cam,
+                    budget=1000, interpret=True)  # not a power of two
+    assert bool(jnp.all(jnp.isfinite(out.rgb)))

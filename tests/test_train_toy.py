@@ -110,3 +110,25 @@ def test_opacity_reset():
     state = reset_opacity_step(state, 0.01)
     opac = jax.nn.sigmoid(state.params.logit_opacities)
     assert float(opac[:32].max()) <= 0.011
+
+
+def test_bench_street_scene_builds():
+    """The benchmark scene is a valid renderable street (opaque surfaces,
+    bounded radii)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import _street_gaussians
+    from emd_tpu.core import make_camera
+    from emd_tpu.core.gaussians import activate
+    from emd_tpu.raster import rasterize
+
+    p, alive = _street_gaussians(2000)
+    act = activate(p, alive)
+    cam = make_camera(150.0, 150.0, 96.0, 54.0, jnp.eye(4), 192, 108)
+    from emd_tpu.core.sh import eval_sh
+    colors = eval_sh(act.shs, act.means / jnp.linalg.norm(
+        act.means, axis=-1, keepdims=True), 3)
+    out = rasterize(act.means, act.quats, act.scales, act.opacities,
+                    colors, cam, budget=1 << 15, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out.rgb)))
+    assert float(out.alpha.mean()) > 0.02  # nonzero coverage (scales with N)
