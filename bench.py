@@ -80,7 +80,7 @@ def main():
     params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
-    cfg = TrainConfig(budget=2 << 20)
+    cfg = TrainConfig(budget=(3 << 19))  # 1.5M: ~1.25x the measured 1.2M instances
 
     def loss_fn(params):
         out = render_params(params, alive, cam, jnp.ones((16,)), cfg)

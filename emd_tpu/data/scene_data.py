@@ -50,6 +50,9 @@ class SceneData:
     lidar_points: list | None             # F x (N_f, 3) world points
     lidar_origins: list | None            # F x (N_f, 3)
     instances: list                       # list[InstanceAnn]
+    human_masks: np.ndarray | None = None   # (F, C, H, W) bool (fine
+    vehicle_masks: np.ndarray | None = None # dynamic masks, OmniRe
+                                            # fine_dynamic_masks)
 
     @property
     def num_frames(self) -> int:
@@ -164,6 +167,8 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
 
     sky = maybe_masks("sky_masks")
     dyn = maybe_masks("dynamic_masks")
+    human = maybe_masks("human_masks")
+    vehicle = maybe_masks("vehicle_masks")
 
     lidar_pts, lidar_org = None, None
     lidar_dir = os.path.join(scene_dir, "lidar")
@@ -185,6 +190,7 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     return SceneData(images=images, intrinsics=intrinsics,
                      cam_to_worlds=cam_to_worlds.astype(np.float32),
                      sky_masks=sky, dynamic_masks=dyn,
+                     human_masks=human, vehicle_masks=vehicle,
                      lidar_points=lidar_pts, lidar_origins=lidar_org,
                      instances=instances)
 

@@ -121,16 +121,19 @@ def make_synthetic_scene(
     images = np.zeros((n_frames, n_cams, height, width, 3), np.float32)
     sky_masks = np.ones((n_frames, n_cams, height, width), bool)
     dyn_masks = np.zeros((n_frames, n_cams, height, width), bool)
+    human_masks = np.zeros((n_frames, n_cams, height, width), bool)
+    veh_masks = np.zeros((n_frames, n_cams, height, width), bool)
     for f in range(n_frames):
         world_pts = [static_pts]
         world_col = [static_col]
-        dyn_flags = [np.zeros(static_pts.shape[0], bool)]
-        for ann, local, col in ((instances[0], veh_local, veh_col),
-                                (instances[1], ped_local, ped_col)):
+        dyn_flags = [np.zeros(static_pts.shape[0], np.int32)]
+        for cls_id, (ann, local, col) in enumerate(
+                ((instances[0], veh_local, veh_col),
+                 (instances[1], ped_local, ped_col)), start=1):
             T = ann.poses[f]
             world_pts.append(local @ T[:3, :3].T + T[:3, 3])
             world_col.append(col)
-            dyn_flags.append(np.ones(local.shape[0], bool))
+            dyn_flags.append(np.full(local.shape[0], cls_id, np.int32))
         pts = np.concatenate(world_pts)
         col = np.concatenate(world_col)
         dyn = np.concatenate(dyn_flags)
@@ -149,7 +152,7 @@ def make_synthetic_scene(
             order = np.argsort(-zz)  # far to near; near overwrites
             img = np.full((height, width, 3), 0.55, np.float32)  # sky
             sky = np.ones((height, width), bool)
-            dmask = np.zeros((height, width), bool)
+            cls = np.zeros((height, width), np.int32)
             # splat 2x2 blocks for coverage
             for du in (0, 1):
                 for dv in (0, 1):
@@ -157,10 +160,12 @@ def make_synthetic_scene(
                     vv = np.clip(v[order] + dv, 0, height - 1)
                     img[vv, uu] = cc[order]
                     sky[vv, uu] = False
-                    dmask[vv, uu] = dd[order]
+                    cls[vv, uu] = dd[order]
             images[f, c] = img
             sky_masks[f, c] = sky
-            dyn_masks[f, c] = dmask
+            dyn_masks[f, c] = cls > 0
+            veh_masks[f, c] = cls == 1
+            human_masks[f, c] = cls == 2
 
     # lidar: subsample the union geometry per frame (ego-frame origins)
     lidar_pts, lidar_org = [], []
@@ -182,6 +187,7 @@ def make_synthetic_scene(
         images=images, intrinsics=np.tile(K[None], (n_cams, 1, 1)),
         cam_to_worlds=cam_to_worlds.astype(np.float32),
         sky_masks=sky_masks, dynamic_masks=dyn_masks,
+        human_masks=human_masks, vehicle_masks=veh_masks,
         lidar_points=lidar_pts, lidar_origins=lidar_org,
         instances=instances,
     )

@@ -51,6 +51,10 @@ def render_split(params: SceneParams, aux: SceneAux, cfg: SceneConfig,
                           if scene.sky_masks is not None else None),
                 dynamic_mask=(jnp.asarray(scene.dynamic_masks[f, c])
                               if scene.dynamic_masks is not None else None),
+                human_mask=(jnp.asarray(scene.human_masks[f, c])
+                            if scene.human_masks is not None else None),
+                vehicle_mask=(jnp.asarray(scene.vehicle_masks[f, c])
+                              if scene.vehicle_masks is not None else None),
                 lpips_net=lpips_net)
             metrics.append(m)
             renders.append(dict(frame=int(f), cam=c, rgb=pred,
