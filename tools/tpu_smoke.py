@@ -40,6 +40,16 @@ def main():
     val.block_until_ready()
     print(f"compile+run fwd+bwd: {time.time()-t0:.1f}s  loss={float(val):.4f}")
 
+    # determinism / race check: repeated compiled runs must be bit-identical
+    # (exercises the double-buffered DMA and early-termination paths)
+    (v2, rgb2), grads2 = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params)
+    same_img = bool(jnp.all(rgb == rgb2))
+    same_grad = all(bool(jnp.all(a == b))
+                    for a, b in zip(jax.tree.leaves(grads),
+                                    jax.tree.leaves(grads2)))
+    print(f"deterministic: images {same_img}, grads {same_grad}")
+
     # CPU oracle comparison
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
