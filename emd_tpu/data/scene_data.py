@@ -83,6 +83,15 @@ class SceneData:
         lo, hi = self.aabb()
         return float(np.linalg.norm(hi - lo) / 2.0)
 
+    def camera_extent(self) -> float:
+        """Radius of the camera-position cloud * 1.1 — the reference's
+        spatial_lr_scale / scene_radius (S3 getNerfppNorm; OmniRe
+        scene_radius), which scales position/field learning rates. Much
+        smaller than the lidar AABB radius for driving clips."""
+        cams = self.cam_to_worlds[..., :3, 3].reshape(-1, 3)
+        center = cams.mean(0)
+        return float(np.linalg.norm(cams - center, axis=1).max() * 1.1 + 1e-3)
+
 
 def split_train_test(num_frames: int, test_stride: int = 10
                      ) -> tuple[np.ndarray, np.ndarray]:

@@ -207,7 +207,8 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
 
     os.makedirs(out_dir, exist_ok=True)
     for sub in ("images", "intrinsics", "extrinsics", "ego_pose",
-                "sky_masks", "dynamic_masks", "lidar", "instances"):
+                "sky_masks", "dynamic_masks", "human_masks",
+                "vehicle_masks", "lidar", "instances"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     f_, c_ = scene.num_frames, scene.num_cams
@@ -238,6 +239,16 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
                     os.path.join(out_dir, "dynamic_masks",
                                  f"{f:03d}_{c}.png"),
                     scene.dynamic_masks[f, c].astype(np.uint8) * 255)
+            if scene.human_masks is not None:
+                cv2.imwrite(
+                    os.path.join(out_dir, "human_masks",
+                                 f"{f:03d}_{c}.png"),
+                    scene.human_masks[f, c].astype(np.uint8) * 255)
+            if scene.vehicle_masks is not None:
+                cv2.imwrite(
+                    os.path.join(out_dir, "vehicle_masks",
+                                 f"{f:03d}_{c}.png"),
+                    scene.vehicle_masks[f, c].astype(np.uint8) * 255)
         if scene.lidar_points is not None:
             ego_inv = np.linalg.inv(ego_poses[f])
             pts = scene.lidar_points[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]

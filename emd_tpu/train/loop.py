@@ -76,7 +76,10 @@ def fit_scene(
     else:
         params, aux = params_aux
     state = create_scene_train_state(params, aux)
-    scene_scale = scene.scene_scale()
+    # LR scale = camera-extent radius (the reference's scene_radius /
+    # spatial_lr_scale), NOT the lidar AABB radius (several x larger —
+    # inflated LRs destabilize the hexplane/means)
+    scene_scale = scene.camera_extent()
     logger.info(
         "scene: %d frames x %d cams, scale %.1f; background capacity %d",
         scene.num_frames, scene.num_cams, scene_scale,

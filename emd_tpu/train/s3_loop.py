@@ -88,7 +88,7 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     else:
         params, alive = params_alive
     state = create_s3_train_state(params, alive)
-    spatial_scale = spatial_scale or scene.scene_scale()
+    spatial_scale = spatial_scale or scene.camera_extent()
 
     source = BatchSource(scene, test_stride=loop.test_stride,
                         seed=loop.seed)
