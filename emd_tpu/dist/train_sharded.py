@@ -52,6 +52,14 @@ class ShardedBatch(NamedTuple):
     rgb: jax.Array      # (B, H, W, 3)
 
 
+class ShardedSceneBatch(NamedTuple):
+    """Scene-graph variant: adds the per-camera frame index."""
+    K: jax.Array          # (B, 3, 3)
+    viewmat: jax.Array    # (B, 4, 4)
+    rgb: jax.Array        # (B, H, W, 3)
+    frame_idx: jax.Array  # (B,) int32
+
+
 def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
                       interpret: bool | None = None):
     """Returns loss_fn(params, alive, batch) -> scalar, differentiable,
@@ -147,3 +155,158 @@ def make_sharded_train_step(mesh: Mesh, cfg: TrainConfig, width: int,
         return new_params, (new_opt, alive), loss
 
     return step
+
+
+# ----------------------------------------------------------------------------
+# full scene-graph sharded step
+# ----------------------------------------------------------------------------
+
+def make_sharded_scene_loss(mesh: Mesh, cfg, width: int, height: int,
+                            aux, interpret: bool | None = None):
+    """Sharded loss over the FULL scene graph (SceneParams).
+
+    Sharding layout: the background class (the capacity-dominant soup,
+    600k-1M in the reference configs) shards along "gauss"; the motion
+    classes (rigid/deformable/SMPL instances, sky, corrections — small,
+    parameter-dense) replicate and evaluate redundantly per shard, with
+    their world-space soups concatenated after the background all_gather.
+    The AD transpose reduce-scatters background gradients and psums the
+    replicated classes' gradients over both axes (verified against the
+    single-device step in tests/test_dist.py).
+
+    `cfg` is a SceneTrainConfig; `aux` a SceneAux (replicated, non-learned).
+    Batch: ShardedSceneBatch with leaves sharded P("data").
+    """
+    from ..core.sh import eval_sh
+    from ..core.gaussians import sh_degree_mask
+    from ..core.quat import quat_normalize
+    from ..motion.rigid import rigid_world_gaussians
+    from ..scene.scene_graph import SceneConfig  # noqa: F401
+    from ..train import losses as L
+
+    if interpret is None:
+        interpret = default_interpret()
+    ntx, nty = num_tiles(width, height, TILE)
+    scfg = cfg.scene
+
+    def local_loss(carrier, batch):
+        params, bg_alive_shard = carrier
+        cam = Camera(K=batch.K[0], viewmat=batch.viewmat[0],
+                     width=width, height=height)
+        frame = batch.frame_idx[0]
+        step = jnp.zeros((), jnp.int32)
+        campos = cam.position
+
+        def colors_of(means, shs):
+            # SH-degree ramp mask, consistent with render_scene
+            mask = sh_degree_mask(
+                jnp.minimum(step // scfg.sh_degree_interval, 3),
+                shs.shape[1])
+            shs = shs * mask[None, :, None]
+            dirs = means - campos
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+            deg = int(round(shs.shape[1] ** 0.5)) - 1
+            return eval_sh(shs, dirs, deg)
+
+        # --- background: LOCAL shard -> project -> all_gather
+        bg = params.background
+        bg_alive = bg_alive_shard
+        shs_bg = jnp.concatenate(
+            [bg.sh_dc[:, None, :], bg.sh_rest], axis=1)
+        opac_bg = jnp.where(bg_alive,
+                            jax.nn.sigmoid(bg.logit_opacities), 0.0)
+        col_bg = colors_of(bg.means, shs_bg)
+        proj = project_gaussians(bg.means, quat_normalize(bg.quats),
+                                 jnp.exp(bg.log_scales), cam.viewmat,
+                                 cam.K, width, height)
+
+        def ag(x):
+            return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
+
+        means2d = [ag(proj.means2d)]
+        conics = [ag(proj.conics)]
+        colors = [ag(col_bg)]
+        opacs = [ag(opac_bg * proj.compensation)]
+        depths = [ag(proj.depths)]
+        radii = [ag(proj.radii)]
+
+        # --- rigid class: replicated, full evaluation per shard
+        if params.rigid is not None:
+            rp = params.rigid
+            wm, wq, vis = rigid_world_gaussians(
+                rp, aux.rigid_aux, aux.rigid_alive, frame, step, scfg.rigid)
+            shs_r = jnp.concatenate(
+                [rp.gauss.sh_dc[:, None, :], rp.gauss.sh_rest], axis=1)
+            proj_r = project_gaussians(
+                wm, wq, jnp.exp(rp.gauss.log_scales), cam.viewmat, cam.K,
+                width, height)
+            means2d.append(proj_r.means2d)
+            conics.append(proj_r.conics)
+            colors.append(colors_of(wm, shs_r))
+            opacs.append(jnp.where(
+                vis, jax.nn.sigmoid(rp.gauss.logit_opacities), 0.0)
+                * proj_r.compensation)
+            depths.append(proj_r.depths)
+            radii.append(proj_r.radii)
+
+        means2d = jnp.concatenate(means2d)
+        conics = jnp.concatenate(conics)
+        colors = jnp.concatenate(colors)
+        opacs = jnp.concatenate(opacs)
+        depths = jnp.concatenate(depths)
+        radii = jnp.concatenate(radii)
+
+        binning = bin_gaussians(means2d, radii, depths, width, height,
+                                TILE, scfg.budget)
+        packed = pack_instances(means2d, conics, colors, opacs, depths)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
+        inst = jnp.take(packed, binning.gid, axis=1)
+        tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
+                                interpret)
+        rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,
+                                              height)
+        if params.sky is not None:
+            from ..core.camera import camera_rays
+            from ..scene.sky import composite_sky, sample_cubemap
+            _, viewdirs = camera_rays(cam)
+            rgb = composite_sky(rgb, alpha, sample_cubemap(params.sky,
+                                                           viewdirs))
+
+        loss = (cfg.w_rgb * L.l1(rgb, batch.rgb[0])
+                + cfg.w_ssim * L.ssim_loss(rgb, batch.rgb[0]))
+        return jax.lax.pmean(loss, "data")
+
+    # background params + alive shard over gauss; everything else replicated
+    def spec_of(params):
+        bg_spec = jax.tree.map(lambda _: P("gauss"), params.background)
+        rest = jax.tree.map(lambda _: P(), params)
+        return rest._replace(background=bg_spec)
+
+    def wrap(params_and_alive, batch):
+        return jax.shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(SceneShardSpec(params_and_alive), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )(params_and_alive, batch)
+
+    return wrap
+
+
+class _BgAliveCarrier(tuple):
+    """(SceneParams, bg_alive) rides as one pytree so the background alive
+    mask shards with the background parameters."""
+
+
+def params_alive_bg(carrier):
+    return carrier[1]
+
+
+def SceneShardSpec(carrier):
+    params, bg_alive = carrier
+    bg_spec = jax.tree.map(lambda _: P("gauss"), params.background)
+    params_spec = jax.tree.map(lambda _: P(), params)
+    params_spec = params_spec._replace(background=bg_spec)
+    return (params_spec, P("gauss"))

@@ -107,3 +107,75 @@ def test_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4 * scale, rtol=1e-3,
             err_msg=f"sharded grad mismatch: {name}")
+
+
+def test_sharded_scene_graph_loss_and_grads():
+    """FULL scene-graph sharded step: background sharded over 'gauss',
+    rigid class + sky replicated — loss and grads match single-device."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_scene_graph import build_scene, cam_at, H, W
+
+    from emd_tpu.dist import (ShardedSceneBatch, make_mesh,
+                              make_sharded_scene_loss)
+    from emd_tpu.scene import SceneConfig
+    from emd_tpu.train import losses
+    from emd_tpu.train.scene_trainer import SceneTrainConfig
+    from emd_tpu.scene import render_scene
+
+    from emd_tpu.scene import empty_params as _empty
+
+    params, aux = build_scene(jax.random.PRNGKey(4), with_corrections=False)
+    # pad background to a multiple of 8 for sharding, using proper
+    # dead-slot values (identity quats etc. — zero quats have NaN grads
+    # through normalization)
+    nb = params.background.capacity
+    pad = (-nb) % 8
+    if pad:
+        filler = _empty(pad, params.background.sh_bases)
+        bg = jax.tree.map(lambda x, f: jnp.concatenate([x, f]),
+                          params.background, filler)
+        params = params._replace(background=bg)
+        aux = aux._replace(bg_alive=jnp.concatenate(
+            [aux.bg_alive, jnp.zeros((pad,), bool)]))
+
+    n_data, n_gauss = 4, 2
+    mesh = make_mesh(n_data=n_data, n_gauss=n_gauss)
+    cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 14, interpret=True))
+    cams = [cam_at(0.2 * i) for i in range(n_data)]
+    batch = ShardedSceneBatch(
+        K=jnp.stack([c.K for c in cams]),
+        viewmat=jnp.stack([c.viewmat for c in cams]),
+        rgb=jnp.zeros((n_data, H, W, 3)) + 0.5,
+        frame_idx=jnp.arange(n_data, dtype=jnp.int32) % 6,
+    )
+    loss_fn = make_sharded_scene_loss(mesh, cfg, W, H, aux, interpret=True)
+    # grad only wrt params; the bool alive shard rides as a second arg
+    fn = lambda p, a, b: loss_fn((p, a), b)
+    val, gparams = jax.jit(jax.value_and_grad(fn))(params, aux.bg_alive,
+                                                   batch)
+
+    # single-device reference
+    def single(params):
+        vals = []
+        for i in range(n_data):
+            out = render_scene(params, aux, cfg.scene, cams[i],
+                               batch.frame_idx[i], jnp.asarray(0),
+                               jnp.asarray(0))
+            vals.append(cfg.w_rgb * losses.l1(out.rgb, batch.rgb[i])
+                        + cfg.w_ssim * losses.ssim_loss(out.rgb,
+                                                        batch.rgb[i]))
+        return jnp.mean(jnp.stack(vals))
+
+    v0, g0 = jax.value_and_grad(single)(params)
+    np.testing.assert_allclose(float(val), float(v0), rtol=2e-4)
+    for name in ("background", "rigid"):
+        a = getattr(g0, name)
+        b = getattr(gparams, name)
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            # dead padded slots produce equal NaNs on both sides; nanmax
+            # keeps the absolute tolerance meaningful
+            scale = np.maximum(np.nanmax(np.abs(np.asarray(la))), 1e-4)
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(la), atol=1e-3 * scale,
+                rtol=2e-3, err_msg=f"scene-sharded grad mismatch: {name}")
