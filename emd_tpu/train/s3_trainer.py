@@ -240,3 +240,33 @@ def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
                                dstate=dstate, step=state.step + 1)
     return new_state, dict(loss=total, psnr=aux["psnr"],
                            overflow=aux["overflow"], **aux["loss_dict"])
+
+
+def render_s3_decomposed(params: S3Params, alive, cfg: S3TrainConfig,
+                         cam: Camera, t, cam_no, step,
+                         dx_threshold: float = 0.01, part: str = "dynamic"):
+    """Static/dynamic decomposition for the S3 single-soup model
+    (gaussian_renderer/__init__.py:114-138, :203-294): gaussians are
+    routed by the magnitude of their current deformation dx."""
+    deform = apply_s3_field(
+        params.field, cfg.field, params.gauss.means,
+        params.gauss.log_scales, quat_normalize(params.gauss.quats),
+        params.gauss.logit_opacities,
+        jnp.concatenate([params.gauss.sh_dc[:, None, :],
+                         params.gauss.sh_rest], axis=1),
+        params.embeddings, t, cam_no, step)
+    moving = jnp.linalg.norm(deform.dx_total, axis=-1) > dx_threshold
+    keep = moving if part == "dynamic" else ~moving
+    return render_s3(params, alive & keep, cfg, cam, t, cam_no, step,
+                     fine_stage=True)
+
+
+def scene_flow_colors(dx: "jax.Array", clip: float = 0.5) -> "jax.Array":
+    """Map per-gaussian deformation dx to RGB flow colors
+    (S3 utils/video_utils.py scene-flow visualization): direction -> hue
+    via the xy components, magnitude -> saturation."""
+    mag = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+    d = dx / jnp.maximum(mag, 1e-8)
+    rgb = 0.5 + 0.5 * d
+    sat = jnp.clip(mag / clip, 0.0, 1.0)
+    return 0.5 * (1 - sat) + rgb * sat

@@ -90,3 +90,24 @@ def test_s3_training_two_stage():
         if first is None:
             first = float(m["psnr"])
     assert float(m["psnr"]) > first + 1.0, f"{first} -> {float(m['psnr'])}"
+
+
+def test_s3_decomposition_and_flow():
+    from emd_tpu.train.s3_trainer import (render_s3_decomposed,
+                                          scene_flow_colors)
+    params, alive, fcfg = build(jax.random.PRNGKey(3))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True)
+    rgb_d, out_d, _ = render_s3_decomposed(
+        params, alive, cfg, cam(), jnp.array(0.5), jnp.array(0),
+        jnp.array(100), dx_threshold=1e-6, part="dynamic")
+    rgb_s, out_s, _ = render_s3_decomposed(
+        params, alive, cfg, cam(), jnp.array(0.5), jnp.array(0),
+        jnp.array(100), dx_threshold=1e-6, part="static")
+    # the two parts partition alpha mass (approximately; compositing is
+    # nonlinear so only rough complementarity holds)
+    assert bool(jnp.all(jnp.isfinite(rgb_d)))
+    assert float(out_d.alpha.sum() + out_s.alpha.sum()) > 0
+    flow = scene_flow_colors(jnp.array([[0.4, 0.0, 0.0],
+                                        [0.0, 0.0, 0.0]]))
+    assert flow.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(flow[1]), 0.5, atol=1e-6)
