@@ -84,7 +84,9 @@ def seed_background(scene: SceneData, n_lidar: int = 60_000,
     rand_col = np.full((n_random, 3), 0.5, np.float32)
     pts = np.concatenate([pts_all, rand_pts])
     cols = np.concatenate([col_all, rand_col])
-    capacity = int(pts.shape[0] * capacity_factor)
+    # round capacity to a multiple of 256 so gaussian-axis sharding always
+    # divides (mesh "gauss" sizes are small powers of two)
+    capacity = -(-int(pts.shape[0] * capacity_factor) // 256) * 256
     return params_from_points(pts, np.clip(cols, 0, 1), capacity,
                               sh_bases=sh_bases, seed=seed)
 
@@ -147,7 +149,7 @@ def seed_instances(scene: SceneData, classes: tuple[str, ...],
             jnp.asarray(ann.poses[:, :3, :3])))
         trans[:, i] = ann.poses[:, :3, 3]
         fv[:, i] = ann.frame_valid
-    capacity = int(pts.shape[0] * capacity_factor)
+    capacity = -(-int(pts.shape[0] * capacity_factor) // 256) * 256
     return dict(points=pts, colors=cols, point_ids=pids, pose_quats=quats,
                 pose_trans=trans, frame_valid=fv, sizes=sizes,
                 capacity=capacity, sh_bases=sh_bases)

@@ -190,7 +190,11 @@ def make_sharded_scene_loss(mesh: Mesh, cfg, width: int, height: int,
     scfg = cfg.scene
 
     def local_loss(carrier, batch):
-        params, bg_alive_shard = carrier
+        if len(carrier) == 3:
+            params, bg_alive_shard, bg_m2d_off = carrier
+        else:
+            params, bg_alive_shard = carrier
+            bg_m2d_off = None
         cam = Camera(K=batch.K[0], viewmat=batch.viewmat[0],
                      width=width, height=height)
         frame = batch.frame_idx[0]
@@ -220,11 +224,14 @@ def make_sharded_scene_loss(mesh: Mesh, cfg, width: int, height: int,
         proj = project_gaussians(bg.means, quat_normalize(bg.quats),
                                  jnp.exp(bg.log_scales), cam.viewmat,
                                  cam.K, width, height)
+        m2d_bg = proj.means2d
+        if bg_m2d_off is not None:
+            m2d_bg = m2d_bg + bg_m2d_off
 
         def ag(x):
             return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
 
-        means2d = [ag(proj.means2d)]
+        means2d = [ag(m2d_bg)]
         conics = [ag(proj.conics)]
         colors = [ag(col_bg)]
         opacs = [ag(opac_bg * proj.compensation)]
@@ -305,8 +312,98 @@ def params_alive_bg(carrier):
 
 
 def SceneShardSpec(carrier):
-    params, bg_alive = carrier
+    params = carrier[0]
     bg_spec = jax.tree.map(lambda _: P("gauss"), params.background)
     params_spec = jax.tree.map(lambda _: P(), params)
     params_spec = params_spec._replace(background=bg_spec)
+    if len(carrier) == 3:
+        return (params_spec, P("gauss"), P("gauss"))
     return (params_spec, P("gauss"))
+
+
+def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
+                            scene_scale: float,
+                            interpret: bool | None = None):
+    """Full multi-device scene-graph TRAIN step: sharded loss + background
+    means2d densification stats + per-group Adam, jitted once with
+    NamedShardings (background + its optimizer moments over "gauss",
+    motion classes replicated, camera batch over "data").
+
+    Returns (step_fn, shardings) where
+      step_fn(params, bg_alive, opt, dstate, batch, stepno)
+        -> (params, opt, dstate, metrics)
+    """
+    from ..train import losses as L
+    from ..train.densify import accumulate_stats
+    from ..train.optim import adam_update
+    from ..train.scene_trainer import scene_lr_tree
+
+    loss_fn = make_sharded_scene_loss(mesh, cfg, width, height, aux,
+                                      interpret)
+    n_data = mesh.shape["data"]
+
+    bg_sh = NamedSharding(mesh, P("gauss"))
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def param_shardings(params):
+        sh = jax.tree.map(lambda _: rep, params)
+        return sh._replace(
+            background=jax.tree.map(lambda _: bg_sh, params.background))
+
+    def step(params, bg_alive, opt, dstate, batch, stepno):
+        def wrapped(p, off):
+            return loss_fn((p, bg_alive, off), batch)
+
+        nb = params.background.capacity
+        off0 = jnp.zeros((nb, 2), jnp.float32)
+        (loss), (gparams, goff) = jax.value_and_grad(
+            wrapped, argnums=(0, 1))(params, off0)
+        lrs = scene_lr_tree(params, cfg, stepno, scene_scale)
+        new_params, new_opt = adam_update(gparams, opt, params, lrs)
+        # densification stats for the background shard (radii proxy: use
+        # the screen-grad magnitude only — radii live inside the shard map;
+        # visibility approximated by nonzero grad)
+        visible = (jnp.abs(goff).sum(-1) > 0).astype(jnp.int32)
+        dstate = dstate._replace(
+            grad_accum=dstate.grad_accum + jnp.linalg.norm(
+                goff * jnp.array([[width * 0.5, height * 0.5]]), axis=-1),
+            count=dstate.count + visible)
+        return new_params, new_opt, dstate, dict(loss=loss)
+
+    def _opt_shardings(psh):
+        from ..train.optim import AdamState
+        return AdamState(mu=psh, nu=psh, step=rep)
+
+    def _dstate_shardings(bg):
+        from ..train.densify import DensifyState
+        return DensifyState(grad_accum=bg, count=bg, max_radii=bg)
+
+    def jit_step(params):
+        psh = param_shardings(params)
+        batch_sh = jax.tree.map(lambda _: data_sh,
+                                ShardedSceneBatch(0, 0, 0, 0))
+        return jax.jit(
+            step,
+            in_shardings=(psh, bg_sh, _opt_shardings(psh),
+                          _dstate_shardings(bg_sh), batch_sh, None),
+            out_shardings=(psh, _opt_shardings(psh),
+                           _dstate_shardings(bg_sh), None),
+        )
+
+    return jit_step, param_shardings
+
+
+def sharded_scene_batch_from_source(source, n_data: int):
+    """Assemble an n_data-camera ShardedSceneBatch from a BatchSource."""
+    Ks, vms, rgbs, fids, views = [], [], [], [], []
+    for _ in range(n_data):
+        vi, f, c, b = source.next_train("scene")
+        Ks.append(b.camera.K)
+        vms.append(b.camera.viewmat)
+        rgbs.append(b.rgb)
+        fids.append(f)
+        views.append(vi)
+    return ShardedSceneBatch(
+        K=jnp.stack(Ks), viewmat=jnp.stack(vms), rgb=jnp.stack(rgbs),
+        frame_idx=jnp.asarray(fids, jnp.int32)), views

@@ -59,6 +59,7 @@ def fit_scene(
     loop: LoopConfig = LoopConfig(),
     params_aux=None,
     eval_fn=None,
+    mesh=None,
 ) -> SceneTrainState:
     """Train the scene-graph model on a scene; returns the final state."""
     # local imports: the data package imports batch types from this
@@ -89,6 +90,11 @@ def fit_scene(
                          seed=loop.seed)
     metrics_log = MetricLogger(out_dir)
     key = jax.random.PRNGKey(loop.seed)
+
+    if mesh is not None:
+        return _fit_scene_sharded(scene, out_dir, cfg, loop, state,
+                                  scene_scale, source, metrics_log, key,
+                                  mesh, logger)
 
     for step in range(loop.max_steps):
         if loop.downscale_times > 0:
@@ -234,3 +240,73 @@ def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,
     new_aux = state.aux._replace(bg_alive=bg_alive)
     return state._replace(params=new_params, opt=new_opt, aux=new_aux,
                           dstate=dstate)
+
+
+def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
+                       source, metrics_log, key, mesh, logger):
+    """Multi-device variant of the training loop: the sharded scene-graph
+    step trains mesh.shape["data"] cameras per iteration; densify/reset
+    run as jitted ops on the globally-sharded arrays (GSPMD handles the
+    argsort/scatter layout)."""
+    import numpy as np
+
+    from ..dist.train_sharded import (make_sharded_scene_step,
+                                      sharded_scene_batch_from_source)
+    from .densify import reset_opacity
+
+    n_data = mesh.shape["data"]
+    jit_step, _ = make_sharded_scene_step(
+        mesh, cfg, state.aux, *scene.image_hw[::-1], scene_scale)
+    step_fn = jit_step(state.params)
+    params, opt, dstate = state.params, state.opt, state.dstate["background"]
+    bg_alive = state.aux.bg_alive
+    logger.info("sharded loop: mesh %s, %d cameras/step",
+                dict(mesh.shape), n_data)
+
+    for step in range(loop.max_steps):
+        batch, views = sharded_scene_batch_from_source(source, n_data)
+        params, opt, dstate, m = step_fn(params, bg_alive, opt, dstate,
+                                         batch, jnp.asarray(step))
+        m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"non-finite loss at step {step}")
+        metrics_log.update(loss=m["loss"])
+
+        if (loop.refine_start <= step < loop.refine_stop
+                and step % loop.refine_interval == 0):
+            key, sub = jax.random.split(key)
+            from .optim import AdamState
+            out = refine(sub, params.background, bg_alive,
+                         AdamState(mu=opt.mu.background,
+                                   nu=opt.nu.background, step=opt.step),
+                         dstate, _densify_cfg(), scene_scale)
+            params = params._replace(background=out.params)
+            opt = opt._replace(
+                mu=opt.mu._replace(background=out.opt.mu),
+                nu=opt.nu._replace(background=out.opt.nu))
+            bg_alive = out.alive
+            dstate = out.dstate
+            logger.info("refine@%d[bg]: split %d dup %d alive %d", step,
+                        int(out.n_split), int(out.n_dup),
+                        int(jnp.sum(out.alive)))
+
+        if (0 < step < loop.refine_stop
+                and step % loop.reset_opacity_interval == 0):
+            from .optim import AdamState
+            bgp, bgo = reset_opacity(
+                params.background,
+                AdamState(mu=opt.mu.background, nu=opt.nu.background,
+                          step=opt.step))
+            params = params._replace(background=bgp)
+            opt = opt._replace(mu=opt.mu._replace(background=bgo.mu),
+                               nu=opt.nu._replace(background=bgo.nu))
+
+        if step % loop.log_interval == 0:
+            logger.info(metrics_log.line(step, loop.max_steps))
+            metrics_log.dump(step)
+
+    new_aux = state.aux._replace(bg_alive=bg_alive)
+    final = state._replace(params=params, opt=opt, aux=new_aux)
+    save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
+                    (params, new_aux, jnp.asarray(loop.max_steps)))
+    return final
