@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--budget", type=int, default=1 << 20)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend (debug)")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="train on a ('data','gauss') device mesh with this"
+                         " many cameras per step (0 = single device)")
+    ap.add_argument("--gauss_parallel", type=int, default=1,
+                    help="gaussian-axis shards of the mesh")
     ap.add_argument("--eval", action="store_true",
                     help="run full evaluation after training")
     ap.add_argument("--seed", type=int, default=0)
@@ -109,7 +114,12 @@ def main():
         ckpt_interval=max(100, args.steps // 2),
         seed=args.seed,
     )
-    state = fit_scene(scene, args.out, cfg, loop)
+    mesh = None
+    if args.data_parallel > 0:
+        from emd_tpu.dist import make_mesh
+        mesh = make_mesh(n_data=args.data_parallel,
+                         n_gauss=args.gauss_parallel)
+    state = fit_scene(scene, args.out, cfg, loop, mesh=mesh)
 
     if args.eval:
         src = BatchSource(scene, test_stride=args.test_stride)
