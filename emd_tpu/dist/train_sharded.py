@@ -53,11 +53,17 @@ class ShardedBatch(NamedTuple):
 
 
 class ShardedSceneBatch(NamedTuple):
-    """Scene-graph variant: adds the per-camera frame index."""
+    """Scene-graph variant: the full SceneBatch fields, camera-batched.
+    Optional supervision (depth/sky/dynamic masks) is None when the scene
+    has none — consistently across cameras, so the pytree is static."""
     K: jax.Array          # (B, 3, 3)
     viewmat: jax.Array    # (B, 4, 4)
     rgb: jax.Array        # (B, H, W, 3)
     frame_idx: jax.Array  # (B,) int32
+    img_idx: jax.Array = None           # (B,) int32 appearance index
+    depth: jax.Array | None = None      # (B, H, W)
+    sky_mask: jax.Array | None = None   # (B, H, W)
+    dynamic_mask: jax.Array | None = None
 
 
 def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
@@ -161,185 +167,134 @@ def make_sharded_train_step(mesh: Mesh, cfg: TrainConfig, width: int,
 # full scene-graph sharded step
 # ----------------------------------------------------------------------------
 
+def _opt_none(x, b):
+    """Slice leaf [0] of an optional batched field."""
+    return None if x is None else x[0]
+
+
 def make_sharded_scene_loss(mesh: Mesh, cfg, width: int, height: int,
-                            aux, interpret: bool | None = None):
-    """Sharded loss over the FULL scene graph (SceneParams).
+                            interpret: bool | None = None):
+    """Sharded loss over the FULL scene graph — at parity with the
+    single-device `scene_train_step` by construction: the local function
+    calls the SAME `render_scene` (with the all_gather hook rejoining the
+    background shard after its distributed projection) and the SAME
+    `scene_loss_terms` suite.
 
     Sharding layout: the background class (the capacity-dominant soup,
     600k-1M in the reference configs) shards along "gauss"; the motion
-    classes (rigid/deformable/SMPL instances, sky, corrections — small,
-    parameter-dense) replicate and evaluate redundantly per shard, with
-    their world-space soups concatenated after the background all_gather.
-    The AD transpose reduce-scatters background gradients and psums the
-    replicated classes' gradients over both axes (verified against the
-    single-device step in tests/test_dist.py).
+    classes (rigid/deformable/SMPL, sky, corrections — small,
+    parameter-dense) replicate and evaluate redundantly per shard. The AD
+    transpose reduce-scatters background gradients and psums the
+    replicated classes' gradients (verified against the single-device
+    step in tests/test_dist.py).
 
-    `cfg` is a SceneTrainConfig; `aux` a SceneAux (replicated, non-learned).
-    Batch: ShardedSceneBatch with leaves sharded P("data").
+    Returns loss_fn(params, saux, m2d_off, knn, batch, stepno)
+      -> (total, aux_out) where
+      params: SceneParams, background leaves P("gauss"), rest P();
+      saux:   SceneAux, bg_alive P("gauss"), rest P();
+      m2d_off: (n_data, n_total, 2) P("data") — PER-CAMERA screen-space
+               offsets; grad[b] is camera b's means2d gradient so densify
+               stats keep the reference's per-camera-norm semantics;
+      knn:    cached KNN dict (replicated) or None;
+      batch:  ShardedSceneBatch, leaves P("data");
+      aux_out: radii (n_data, n_total) per camera, psnr/overflow/loss_dict
+               (replicated).
     """
-    from ..core.sh import eval_sh
-    from ..core.gaussians import sh_degree_mask
-    from ..core.quat import quat_normalize
-    from ..motion.rigid import rigid_world_gaussians
-    from ..scene.scene_graph import SceneConfig  # noqa: F401
+    from ..scene.scene_graph import render_scene
     from ..train import losses as L
+    from ..train.scene_trainer import SceneBatch, scene_loss_terms
 
     if interpret is None:
         interpret = default_interpret()
-    ntx, nty = num_tiles(width, height, TILE)
-    scfg = cfg.scene
+    scfg = dataclasses_replace_interpret(cfg.scene, interpret)
 
-    def local_loss(carrier, batch):
-        if len(carrier) == 3:
-            params, bg_alive_shard, bg_m2d_off = carrier
-        else:
-            params, bg_alive_shard = carrier
-            bg_m2d_off = None
+    def local_loss(params, saux, m2d_off, knn, batch, stepno):
         cam = Camera(K=batch.K[0], viewmat=batch.viewmat[0],
                      width=width, height=height)
-        frame = batch.frame_idx[0]
-        step = jnp.zeros((), jnp.int32)
-        campos = cam.position
+        sbatch = SceneBatch(
+            camera=cam, rgb=batch.rgb[0], frame_idx=batch.frame_idx[0],
+            img_idx=batch.img_idx[0],
+            depth=_opt_none(batch.depth, 0),
+            sky_mask=_opt_none(batch.sky_mask, 0),
+            dynamic_mask=_opt_none(batch.dynamic_mask, 0))
 
-        def colors_of(means, shs):
-            # SH-degree ramp mask, consistent with render_scene
-            mask = sh_degree_mask(
-                jnp.minimum(step // scfg.sh_degree_interval, 3),
-                shs.shape[1])
-            shs = shs * mask[None, :, None]
-            dirs = means - campos
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-            deg = int(round(shs.shape[1] ** 0.5)) - 1
-            return eval_sh(shs, dirs, deg)
-
-        # --- background: LOCAL shard -> project -> all_gather
-        bg = params.background
-        bg_alive = bg_alive_shard
-        shs_bg = jnp.concatenate(
-            [bg.sh_dc[:, None, :], bg.sh_rest], axis=1)
-        opac_bg = jnp.where(bg_alive,
-                            jax.nn.sigmoid(bg.logit_opacities), 0.0)
-        col_bg = colors_of(bg.means, shs_bg)
-        proj = project_gaussians(bg.means, quat_normalize(bg.quats),
-                                 jnp.exp(bg.log_scales), cam.viewmat,
-                                 cam.K, width, height)
-        m2d_bg = proj.means2d
-        if bg_m2d_off is not None:
-            m2d_bg = m2d_bg + bg_m2d_off
-
-        def ag(x):
+        def bg_gather(x):
             return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
 
-        means2d = [ag(m2d_bg)]
-        conics = [ag(proj.conics)]
-        colors = [ag(col_bg)]
-        opacs = [ag(opac_bg * proj.compensation)]
-        depths = [ag(proj.depths)]
-        radii = [ag(proj.radii)]
+        out = render_scene(params, saux, scfg, cam, sbatch.frame_idx,
+                           sbatch.img_idx, stepno,
+                           means2d_offset=m2d_off[0], bg_gather=bg_gather)
+        ld = scene_loss_terms(out, sbatch, params, saux, knn, stepno, cfg)
+        total = jax.lax.pmean(sum(ld.values()), "data")
+        aux_out = dict(
+            radii=out.raster.proj.radii[None],          # P("data")
+            psnr=jax.lax.pmean(L.psnr(out.rgb, sbatch.rgb), "data"),
+            overflow=jax.lax.pmax(
+                out.raster.binning.overflow.astype(jnp.int32), "data"),
+            loss_dict=jax.tree.map(lambda v: jax.lax.pmean(v, "data"), ld),
+        )
+        return total, aux_out
 
-        # --- rigid class: replicated, full evaluation per shard
-        if params.rigid is not None:
-            rp = params.rigid
-            wm, wq, vis = rigid_world_gaussians(
-                rp, aux.rigid_aux, aux.rigid_alive, frame, step, scfg.rigid)
-            shs_r = jnp.concatenate(
-                [rp.gauss.sh_dc[:, None, :], rp.gauss.sh_rest], axis=1)
-            proj_r = project_gaussians(
-                wm, wq, jnp.exp(rp.gauss.log_scales), cam.viewmat, cam.K,
-                width, height)
-            means2d.append(proj_r.means2d)
-            conics.append(proj_r.conics)
-            colors.append(colors_of(wm, shs_r))
-            opacs.append(jnp.where(
-                vis, jax.nn.sigmoid(rp.gauss.logit_opacities), 0.0)
-                * proj_r.compensation)
-            depths.append(proj_r.depths)
-            radii.append(proj_r.radii)
+    def specs(params, saux, knn, batch):
+        p_spec = jax.tree.map(lambda _: P(), params)._replace(
+            background=jax.tree.map(lambda _: P("gauss"),
+                                    params.background))
+        a_spec = jax.tree.map(lambda _: P(), saux)._replace(
+            bg_alive=P("gauss"))
+        k_spec = jax.tree.map(lambda _: P(), knn)
+        b_spec = jax.tree.map(lambda _: P("data"), batch)
+        return (p_spec, a_spec, P("data"), k_spec, b_spec, P())
 
-        means2d = jnp.concatenate(means2d)
-        conics = jnp.concatenate(conics)
-        colors = jnp.concatenate(colors)
-        opacs = jnp.concatenate(opacs)
-        depths = jnp.concatenate(depths)
-        radii = jnp.concatenate(radii)
+    out_specs = (P(), dict(radii=P("data"), psnr=P(), overflow=P(),
+                           loss_dict=P()))
 
-        binning = bin_gaussians(means2d, radii, depths, width, height,
-                                TILE, scfg.budget)
-        packed = pack_instances(means2d, conics, colors, opacs, depths)
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
-        inst = jnp.take(packed, binning.gid, axis=1)
-        tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
-                                interpret)
-        rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,
-                                              height)
-        if params.sky is not None:
-            from ..core.camera import camera_rays
-            from ..scene.sky import composite_sky, sample_cubemap
-            _, viewdirs = camera_rays(cam)
-            rgb = composite_sky(rgb, alpha, sample_cubemap(params.sky,
-                                                           viewdirs))
-
-        loss = (cfg.w_rgb * L.l1(rgb, batch.rgb[0])
-                + cfg.w_ssim * L.ssim_loss(rgb, batch.rgb[0]))
-        return jax.lax.pmean(loss, "data")
-
-    # background params + alive shard over gauss; everything else replicated
-    def spec_of(params):
-        bg_spec = jax.tree.map(lambda _: P("gauss"), params.background)
-        rest = jax.tree.map(lambda _: P(), params)
-        return rest._replace(background=bg_spec)
-
-    def wrap(params_and_alive, batch):
+    def wrap(params, saux, m2d_off, knn, batch, stepno):
         return jax.shard_map(
             local_loss, mesh=mesh,
-            in_specs=(SceneShardSpec(params_and_alive), P("data")),
-            out_specs=P(),
+            in_specs=specs(params, saux, knn, batch),
+            out_specs=out_specs,
             check_vma=False,
-        )(params_and_alive, batch)
+        )(params, saux, m2d_off, knn, batch, stepno)
 
     return wrap
 
 
-class _BgAliveCarrier(tuple):
-    """(SceneParams, bg_alive) rides as one pytree so the background alive
-    mask shards with the background parameters."""
+def dataclasses_replace_interpret(scene_cfg, interpret):
+    import dataclasses
+    return dataclasses.replace(scene_cfg, interpret=interpret)
 
 
-def params_alive_bg(carrier):
-    return carrier[1]
-
-
-def SceneShardSpec(carrier):
-    params = carrier[0]
-    bg_spec = jax.tree.map(lambda _: P("gauss"), params.background)
-    params_spec = jax.tree.map(lambda _: P(), params)
-    params_spec = params_spec._replace(background=bg_spec)
-    if len(carrier) == 3:
-        return (params_spec, P("gauss"), P("gauss"))
-    return (params_spec, P("gauss"))
+def scene_total_capacity(params) -> int:
+    return sum(
+        [params.background.capacity]
+        + ([params.rigid.gauss.capacity] if params.rigid is not None else [])
+        + ([params.deformable.rigid.gauss.capacity]
+           if params.deformable is not None else [])
+        + ([params.smpl.rigid.gauss.capacity]
+           if params.smpl is not None else []))
 
 
 def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
                             scene_scale: float,
                             interpret: bool | None = None):
-    """Full multi-device scene-graph TRAIN step: sharded loss + background
-    means2d densification stats + per-group Adam, jitted once with
-    NamedShardings (background + its optimizer moments over "gauss",
-    motion classes replicated, camera batch over "data").
+    """Full multi-device scene-graph TRAIN step at parity with
+    `scene_train_step`: real step counter, full loss suite + per-class
+    regs, all classes + sky/affine/cam-pose composed, per-group Adam, and
+    densification stats with the single-device semantics (per-camera
+    screen-grad norms + radii visibility) for background AND rigid.
 
-    Returns (step_fn, shardings) where
-      step_fn(params, bg_alive, opt, dstate, batch, stepno)
-        -> (params, opt, dstate, metrics)
+    Returns (jit_step, param_shardings) where
+      jit_step(params)(params, saux, opt, dstates, knn, batch, stepno)
+        -> (params, opt, dstates, metrics)
+      with dstates a dict {"background": DensifyState, "rigid": ...?}.
+    `aux` is only used to decide the pytree structure at jit time; the
+    live SceneAux rides through the `saux` argument (bg_alive sharded).
     """
-    from ..train import losses as L
     from ..train.densify import accumulate_stats
-    from ..train.optim import adam_update
+    from ..train.optim import AdamState, adam_update
     from ..train.scene_trainer import scene_lr_tree
 
-    loss_fn = make_sharded_scene_loss(mesh, cfg, width, height, aux,
-                                      interpret)
+    loss_fn = make_sharded_scene_loss(mesh, cfg, width, height, interpret)
     n_data = mesh.shape["data"]
 
     bg_sh = NamedSharding(mesh, P("gauss"))
@@ -351,44 +306,55 @@ def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
         return sh._replace(
             background=jax.tree.map(lambda _: bg_sh, params.background))
 
-    def step(params, bg_alive, opt, dstate, batch, stepno):
-        def wrapped(p, off):
-            return loss_fn((p, bg_alive, off), batch)
-
-        nb = params.background.capacity
-        off0 = jnp.zeros((nb, 2), jnp.float32)
-        (loss), (gparams, goff) = jax.value_and_grad(
-            wrapped, argnums=(0, 1))(params, off0)
+    def step(params, saux, opt, dstates, knn, batch, stepno):
+        n_total = scene_total_capacity(params)
+        off0 = jnp.zeros((n_data, n_total, 2), jnp.float32)
+        (loss, aux_out), (gparams, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 2), has_aux=True)(
+                params, saux, off0, knn, batch, stepno)
         lrs = scene_lr_tree(params, cfg, stepno, scene_scale)
         new_params, new_opt = adam_update(gparams, opt, params, lrs)
-        # densification stats for the background shard (radii proxy: use
-        # the screen-grad magnitude only — radii live inside the shard map;
-        # visibility approximated by nonzero grad)
-        visible = (jnp.abs(goff).sum(-1) > 0).astype(jnp.int32)
-        dstate = dstate._replace(
-            grad_accum=dstate.grad_accum + jnp.linalg.norm(
-                goff * jnp.array([[width * 0.5, height * 0.5]]), axis=-1),
-            count=dstate.count + visible)
-        return new_params, new_opt, dstate, dict(loss=loss)
 
-    def _opt_shardings(psh):
-        from ..train.optim import AdamState
-        return AdamState(mu=psh, nu=psh, step=rep)
+        # densify stats: per-camera grads (undo the data-pmean's 1/B) and
+        # radii, accumulated exactly as B sequential single-device steps
+        radii = aux_out["radii"]                        # (B, n_total)
+        cb = params.background.capacity
+        cr = (params.rigid.gauss.capacity
+              if params.rigid is not None else 0)
+        new_dstates = dict(dstates)
+        for b in range(n_data):
+            g_b = goff[b] * float(n_data)
+            new_dstates["background"] = accumulate_stats(
+                new_dstates["background"], g_b[:cb], radii[b, :cb],
+                width, height)
+            if "rigid" in dstates:
+                new_dstates["rigid"] = accumulate_stats(
+                    new_dstates["rigid"], g_b[cb:cb + cr],
+                    radii[b, cb:cb + cr], width, height)
+        metrics = dict(loss=loss, psnr=aux_out["psnr"],
+                       overflow=aux_out["overflow"],
+                       **aux_out["loss_dict"])
+        return new_params, new_opt, new_dstates, metrics
 
-    def _dstate_shardings(bg):
-        from ..train.densify import DensifyState
-        return DensifyState(grad_accum=bg, count=bg, max_radii=bg)
-
-    def jit_step(params):
+    def jit_step(params, saux=None, dstates=None, knn=None,
+                 has_depth=False, has_sky=False, has_dyn=False):
         psh = param_shardings(params)
-        batch_sh = jax.tree.map(lambda _: data_sh,
-                                ShardedSceneBatch(0, 0, 0, 0))
+        opt_sh = AdamState(mu=psh, nu=psh, step=rep)
+        a_sh = (jax.tree.map(lambda _: rep, saux)._replace(bg_alive=bg_sh)
+                if saux is not None else None)
+        d_sh = (jax.tree.map(lambda _: rep, dstates)
+                if dstates is not None else None)
+        k_sh = jax.tree.map(lambda _: rep, knn)
+        batch_proto = ShardedSceneBatch(
+            K=0, viewmat=0, rgb=0, frame_idx=0, img_idx=0,
+            depth=0 if has_depth else None,
+            sky_mask=0 if has_sky else None,
+            dynamic_mask=0 if has_dyn else None)
+        batch_sh = jax.tree.map(lambda _: data_sh, batch_proto)
         return jax.jit(
             step,
-            in_shardings=(psh, bg_sh, _opt_shardings(psh),
-                          _dstate_shardings(bg_sh), batch_sh, None),
-            out_shardings=(psh, _opt_shardings(psh),
-                           _dstate_shardings(bg_sh), None),
+            in_shardings=(psh, a_sh, opt_sh, d_sh, k_sh, batch_sh, None),
+            out_shardings=(psh, opt_sh, d_sh, None),
         )
 
     return jit_step, param_shardings
@@ -396,14 +362,23 @@ def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
 
 def sharded_scene_batch_from_source(source, n_data: int):
     """Assemble an n_data-camera ShardedSceneBatch from a BatchSource."""
-    Ks, vms, rgbs, fids, views = [], [], [], [], []
+    cols = {k: [] for k in ("K", "viewmat", "rgb", "frame_idx", "img_idx",
+                            "depth", "sky_mask", "dynamic_mask")}
+    views = []
     for _ in range(n_data):
         vi, f, c, b = source.next_train("scene")
-        Ks.append(b.camera.K)
-        vms.append(b.camera.viewmat)
-        rgbs.append(b.rgb)
-        fids.append(f)
+        cols["K"].append(b.camera.K)
+        cols["viewmat"].append(b.camera.viewmat)
+        cols["rgb"].append(b.rgb)
+        cols["frame_idx"].append(jnp.asarray(f, jnp.int32))
+        cols["img_idx"].append(b.img_idx)
+        cols["depth"].append(b.depth)
+        cols["sky_mask"].append(b.sky_mask)
+        cols["dynamic_mask"].append(b.dynamic_mask)
         views.append(vi)
+
+    def stack(xs):
+        return None if xs[0] is None else jnp.stack(xs)
+
     return ShardedSceneBatch(
-        K=jnp.stack(Ks), viewmat=jnp.stack(vms), rgb=jnp.stack(rgbs),
-        frame_idx=jnp.asarray(fids, jnp.int32)), views
+        **{k: stack(v) for k, v in cols.items()}), views

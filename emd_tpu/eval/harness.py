@@ -32,6 +32,10 @@ def render_split(params: SceneParams, aux: SceneAux, cfg: SceneConfig,
     Matches the reference eval semantics: test frames use interpolated
     instance poses + mean appearance embeddings (in_test_set=True)."""
     scene = source.scene
+    # Evaluate at full resolution even if the training resolution warm-up
+    # is still active: cameras must match the full-res GT images below.
+    prev_downscale = source.downscale
+    source.set_downscale(1)
     renders, metrics = [], []
     render_fn = jax.jit(
         lambda p, a, cam, f, i: render_scene(
@@ -60,6 +64,7 @@ def render_split(params: SceneParams, aux: SceneAux, cfg: SceneConfig,
             renders.append(dict(frame=int(f), cam=c, rgb=pred,
                                 depth=np.asarray(out.depth),
                                 alpha=np.asarray(out.alpha)))
+    source.set_downscale(prev_downscale)
     return metrics, renders
 
 

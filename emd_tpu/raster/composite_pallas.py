@@ -20,12 +20,14 @@ Design (TPU-first, not a CUDA translation):
   transmittance falls below T_EPS (the CUDA rasterizers stop per-pixel at
   1e-4; chunk-level stopping drops contributions bounded by T_EPS).
 - Backward re-walks chunks back-to-front, reconstructing log-transmittance
-  exactly (sweep 1 re-runs the forward stopping rule, so the stop chunk
-  matches; chunks the forward never composited get zero gradients), with
-  the suffix-sum term derived from the same scan. Gradients are written
-  per *instance* (each instance is owned by exactly one tile — race-free
-  by construction) and reduced to per-gaussian gradients by the VJP of the
-  gather outside the kernel.
+  exactly: the forward emits per-pixel final log-transmittance s (channel 4;
+  alpha = 1 - exp(s) is computed OUTSIDE the kernel so autodiff routes the
+  alpha cotangent into ds for free) and the per-tile stop chunk k_star, so
+  no replay sweep is needed; chunks the forward never composited get zero
+  gradients, and the suffix-sum term comes from the same scan. Gradients
+  are written per *instance* (each instance is owned by exactly one tile —
+  race-free by construction) and reduced to per-gaussian gradients by the
+  VJP of the gather outside the kernel.
 
 The alpha clamp semantics match the CUDA rasterizers: alpha < 1/255 is
 skipped, alpha is clamped at 0.99, and gradients are zeroed where clamped.
@@ -37,7 +39,9 @@ Instance packing (fields-major (16, M_pad) f32 so chunk DMAs slice along
   DINO-distillation channels, rendered through the same compositing
   weights — gaussian_renderer/__init__.py:170-201) [13:16] zero padding
 Output channels (per tile, (8, 1024)):
-  [0:3] rgb  [3] accumulated depth  [4] alpha  [5:8] rendered feature
+  [0:3] rgb  [3] accumulated depth  [4] final log-transmittance s
+  [5:8] rendered feature
+plus a per-tile meta output [(n_tiles, 8, 128)] carrying the stop chunk.
 """
 from __future__ import annotations
 
@@ -137,7 +141,8 @@ def _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot):
 # forward kernel
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
+def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
+                ntx):
     t = pl.program_id(0)
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
@@ -193,16 +198,17 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, buf, sem, *, chunk, ntx):
 
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = dep
-    out_ref[0, 4:5, :] = 1.0 - jnp.exp(s)
+    out_ref[0, 4:5, :] = s
     out_ref[0, 5:8, :] = fea
+    meta_ref[0] = jnp.full((8, 128), c_end.astype(jnp.float32))
 
 
 # ----------------------------------------------------------------------------
 # backward kernel
 # ----------------------------------------------------------------------------
 
-def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
-                buf, gbuf, sem, wsem, *, chunk, ntx):
+def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
+                dinst_ref, buf, gbuf, sem, wsem, *, chunk, ntx):
     t = pl.program_id(0)
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
@@ -210,42 +216,12 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
-    galp = gout_ref[0, 4:5, :]       # (1, NPX)
+    gs = gout_ref[0, 4:5, :]         # (1, NPX) cotangent of log-transmit s
     gfea = gout_ref[0, 5:8, :]       # (3, NPX)
-    t_fin = 1.0 - out_res_ref[0, 4:5, :]
-
-    @pl.when(nchunks > 0)
-    def _():
-        _chunk_dma(inst_ref, buf, sem, start, 0, chunk, 0).start()
-
-    # sweep 1: replay the forward walk (same early-stop rule) to find the
-    # stop chunk k_star and the total log-transmittance over [0, k_star)
-    def s_cond(carry):
-        c, s = carry
-        return (c < nchunks) & (jnp.max(s) > jnp.log(T_EPS))
-
-    def s_body(carry):
-        c, s = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            _chunk_dma(inst_ref, buf, sem, start, c + 1, chunk,
-                       jax.lax.rem(c + 1, 2)).start()
-
-        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
-        terms = _alpha_terms(buf[slot].T, px, py)
-        return c + 1, s + jnp.sum(terms["logom"], axis=0, keepdims=True)
-
-    k_star, l_total = jax.lax.while_loop(
-        s_cond, s_body,
-        (jnp.zeros((), jnp.int32), jnp.zeros((1, NPX), jnp.float32)))
-
-    # drain the in-flight prefetch left by an early exit (see fwd kernel)
-    @pl.when(k_star < nchunks)
-    def _():
-        _chunk_dma(inst_ref, buf, sem, start, k_star, chunk,
-                   jax.lax.rem(k_star, 2)).wait()
+    # forward residuals: per-pixel final log-transmittance + stop chunk —
+    # no replay sweep needed.
+    l_total = out_res_ref[0, 4:5, :]
+    k_star = meta_ref[0, 0, 0].astype(jnp.int32)
 
     # chunks in [k_star, nchunks) never composited -> exact zero gradients
     def z_body(k, _):
@@ -329,8 +305,10 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, dinst_ref,
         b = b + ww_in[chunk - 1:chunk, :]
         return s_start, b
 
-    b0 = t_fin * (-galp)
-    jax.lax.fori_loop(0, k_star, rev_body, (l_total, b0))
+    # s = sum log(1-alpha): ds/dalpha_g = -1/(1-alpha_g), so seeding the
+    # suffix carrier with gs yields abar -= gs/(1-alpha) — the exact final-
+    # transmittance term (gs arrives as -galpha*T_fin from alpha=1-exp(s)).
+    jax.lax.fori_loop(0, k_star, rev_body, (l_total, gs))
 
 
 # ----------------------------------------------------------------------------
@@ -345,7 +323,8 @@ class TileImage(NamedTuple):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def composite_tiles(inst_data: jax.Array, tile_offsets: jax.Array,
                     ntx: int, nty: int, interpret: bool = False) -> jax.Array:
-    return _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret)
+    out, _ = _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret)
+    return out
 
 
 def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
@@ -355,8 +334,12 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, offs: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, FEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -364,19 +347,23 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, ntx=ntx),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, NPX), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 8, NPX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_offsets, inst_data)
 
 
 def _composite_fwd(inst_data, tile_offsets, ntx, nty, interpret):
-    out = _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret)
-    return out, (inst_data, tile_offsets, out)
+    out, meta = _composite_fwd_call(inst_data, tile_offsets, ntx, nty,
+                                    interpret)
+    return out, (inst_data, tile_offsets, out, meta)
 
 
 def _composite_bwd(ntx, nty, interpret, res, gout):
-    inst_data, tile_offsets, out = res
+    inst_data, tile_offsets, out, meta = res
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -387,6 +374,8 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
             pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, NPX), lambda t, offs: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, offs: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -402,7 +391,7 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
         out_shape=jax.ShapeDtypeStruct(inst_data.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_offsets, inst_data, out, gout)
+    )(tile_offsets, inst_data, out, gout, meta)
     # Segments the kernel never touched (instance-budget parking region)
     # contain garbage; they belong to the dummy gaussian, but scrub anyway
     # so NaNs can't leak through the gather-VJP's scatter-add.
@@ -422,6 +411,8 @@ def tiles_to_image(tiles: jax.Array, ntx: int, nty: int,
     t = jnp.transpose(t, (2, 0, 3, 1, 4)).reshape(8, nty * TILE, ntx * TILE)
     rgb = jnp.transpose(t[0:3, :height, :width], (1, 2, 0))
     depth = t[3, :height, :width]
-    alpha = t[4, :height, :width]
+    # channel 4 is final log-transmittance s; converting outside the kernel
+    # routes the alpha cotangent into ds via autodiff (bwd seeds b0 with it).
+    alpha = 1.0 - jnp.exp(t[4, :height, :width])
     feat = jnp.transpose(t[5:8, :height, :width], (1, 2, 0))
     return rgb, depth, alpha, feat

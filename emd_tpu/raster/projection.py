@@ -66,11 +66,15 @@ def project_gaussians(
     far: float = 1e10,
     antialiased: bool = False,
     radius_clip: float = 0.0,
+    opacities: jax.Array | None = None,
 ) -> Projected:
     """Project N Gaussians into one camera. Fully differentiable.
 
     Culling (valid=False, radius=0) when: z outside [near, far]; Cov2d not
-    positive-definite; splat's 3-sigma box misses the image entirely."""
+    positive-definite; splat's box misses the image entirely. The box
+    radius is min(3, sqrt(2 ln(255*opa)))-sigma when `opacities` is given
+    (the level set where alpha falls below the compositor's 1/255 skip —
+    identical output, tighter tile coverage), else the CUDA 3-sigma."""
     f32 = jnp.float32
     means = means.astype(f32)
     W = viewmat[:3, :3].astype(f32)
@@ -146,11 +150,17 @@ def project_gaussians(
 
     means2d = jnp.stack([fx * tx * rz + cx, fy * ty * rz + cy], axis=-1)
 
-    # 3-sigma radius from the larger eigenvalue of the blurred Cov2d.
+    # cutoff radius from the larger eigenvalue of the blurred Cov2d.
     mid = 0.5 * (a_b + c_b)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 1e-10))
     lambda_max = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+    if opacities is None:
+        s_cut = 3.0
+    else:
+        from .binning import opacity_sigma_cut
+        eff_opa = opacities if not antialiased else opacities * compensation
+        s_cut = opacity_sigma_cut(eff_opa, means.shape[0])
+    radius_f = jnp.ceil(s_cut * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
     inside = (
         (means2d[:, 0] + radius_f > 0)

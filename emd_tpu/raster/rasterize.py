@@ -55,21 +55,44 @@ def rasterize(
     means2d_offset: jax.Array | None = None,
     features: jax.Array | None = None,
     interpret: bool | None = None,
+    bg_gather=None,
+    bg_count: int = 0,
 ) -> RasterOut:
     """Differentiable 3DGS render of one camera. `budget` is the static
     (gaussian, tile) instance capacity — re-trace with a bigger one if
     `out.binning.overflow`. `interpret=None` auto-selects Pallas interpret
-    mode on CPU backends (tests / virtual-mesh dryruns)."""
+    mode on CPU backends (tests / virtual-mesh dryruns).
+
+    `bg_gather` (multi-device SPMD hook): a function gathering a local
+    per-gaussian shard to the global axis (jax.lax.all_gather along the
+    "gauss" mesh axis). When set, the first `bg_count` rows of the inputs
+    are a LOCAL shard; they are projected locally (distributing the
+    projection FLOPs over the gauss axis) and the *projected* per-gaussian
+    arrays are gathered before binning — projection is elementwise per
+    gaussian, so this is mathematically identical to projecting the
+    gathered soup and everything downstream is the single-device path.
+    Its AD transpose is the duplicated-gaussian gradient reduce-scatter."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = means.shape[0]
     proj = project_gaussians(
         means, quats, scales, cam.viewmat, cam.K, cam.width, cam.height,
-        antialiased=antialiased,
+        antialiased=antialiased, opacities=opacities,
     )
+    if bg_gather is not None:
+        def g(x):
+            return jnp.concatenate(
+                [bg_gather(x[:bg_count]), x[bg_count:]], axis=0)
+        proj = Projected(*[g(f) for f in proj])
+        colors = g(colors)
+        opacities = g(opacities)
+        if features is not None:
+            features = g(features)
+    eff_opa = jax.lax.stop_gradient(opacities * proj.compensation)
     binning = bin_gaussians(
         proj.means2d, proj.radii, proj.depths,
         cam.width, cam.height, TILE, budget, chunk=CHUNK,
+        conics=proj.conics, opacities=eff_opa,
     )
     means2d = proj.means2d
     if means2d_offset is not None:

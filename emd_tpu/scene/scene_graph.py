@@ -189,9 +189,16 @@ def render_scene(
     in_test_set: bool = False,
     class_weights: dict[str, float] | None = None,
     means2d_offset: jax.Array | None = None,
+    bg_gather=None,
 ) -> SceneRender:
     """Full forward: camera correction -> collect -> rasterize -> sky
-    composite -> color affine (the BasicTrainer forward, base.py:317-497)."""
+    composite -> color affine (the BasicTrainer forward, base.py:317-497).
+
+    `bg_gather`: SPMD hook (see rasterize) — inside a shard_map whose
+    background block is a local "gauss"-axis shard (params.background and
+    aux.bg_alive both local), pass the all_gather so the projected
+    background rejoins the global soup. Every op downstream of projection
+    is then the identical single-device code path."""
     if params.cam_pose is not None:
         c2w = correct_camtoworld(params.cam_pose, cam.camtoworld, img_idx)
         cam = Camera(K=cam.K, viewmat=jnp.linalg.inv(c2w),
@@ -203,7 +210,9 @@ def render_scene(
 
     out = rasterize(means, quats, scales, opac, colors, cam,
                     budget=cfg.budget, antialiased=cfg.antialiased,
-                    means2d_offset=means2d_offset, interpret=cfg.interpret)
+                    means2d_offset=means2d_offset, interpret=cfg.interpret,
+                    bg_gather=bg_gather,
+                    bg_count=params.background.capacity)
 
     sky_rgb = None
     rgb = out.rgb

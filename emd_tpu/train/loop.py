@@ -94,7 +94,7 @@ def fit_scene(
     if mesh is not None:
         return _fit_scene_sharded(scene, out_dir, cfg, loop, state,
                                   scene_scale, source, metrics_log, key,
-                                  mesh, logger)
+                                  mesh, logger, eval_fn=eval_fn)
 
     for step in range(loop.max_steps):
         if loop.downscale_times > 0:
@@ -243,11 +243,15 @@ def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,
 
 
 def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
-                       source, metrics_log, key, mesh, logger):
-    """Multi-device variant of the training loop: the sharded scene-graph
-    step trains mesh.shape["data"] cameras per iteration; densify/reset
-    run as jitted ops on the globally-sharded arrays (GSPMD handles the
-    argsort/scatter layout)."""
+                       source, metrics_log, key, mesh, logger,
+                       eval_fn=None):
+    """Multi-device variant of the training loop, at parity with the
+    single-device loop: full loss suite + per-class regs (the step is
+    built on the same render_scene/scene_loss_terms), real step counter,
+    KNN refresh, background AND rigid densification with per-camera stat
+    semantics, opacity reset, eval + checkpointing. Trains
+    mesh.shape["data"] cameras per iteration; densify/reset run as jitted
+    ops on the globally-sharded arrays (GSPMD handles the layout)."""
     import numpy as np
 
     from ..dist.train_sharded import (make_sharded_scene_step,
@@ -255,58 +259,85 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
     from .densify import reset_opacity
 
     n_data = mesh.shape["data"]
+    width, height = scene.image_hw[::-1]
     jit_step, _ = make_sharded_scene_step(
-        mesh, cfg, state.aux, *scene.image_hw[::-1], scene_scale)
-    step_fn = jit_step(state.params)
-    params, opt, dstate = state.params, state.opt, state.dstate["background"]
-    bg_alive = state.aux.bg_alive
+        mesh, cfg, state.aux, width, height, scene_scale)
     logger.info("sharded loop: mesh %s, %d cameras/step",
                 dict(mesh.shape), n_data)
 
+    probe = source.next_train("scene")[3]
+    has_depth = probe.depth is not None
+    has_sky = probe.sky_mask is not None
+    has_dyn = probe.dynamic_mask is not None
+
+    step_fn = None
+    step_sig = None
     for step in range(loop.max_steps):
+        if (state.params.rigid is not None
+                and step % loop.knn_refresh_interval == 0):
+            idx, w = knn_graph(
+                np.asarray(state.params.rigid.gauss.means),
+                np.asarray(state.aux.rigid_alive), k=8)
+            state = state._replace(knn={"rigid": (jnp.asarray(idx),
+                                                  jnp.asarray(w))})
+
+        # retrace when the pytree structure changes (first KNN refresh)
+        sig = jax.tree.structure((state.params, state.knn))
+        if step_fn is None or sig != step_sig:
+            step_fn = jit_step(state.params, state.aux, state.dstate,
+                               state.knn, has_depth, has_sky, has_dyn)
+            step_sig = sig
+
         batch, views = sharded_scene_batch_from_source(source, n_data)
-        params, opt, dstate, m = step_fn(params, bg_alive, opt, dstate,
-                                         batch, jnp.asarray(step))
+        params, opt, dstates, m = step_fn(
+            state.params, state.aux, state.opt, state.dstate, state.knn,
+            batch, jnp.asarray(step))
+        state = state._replace(params=params, opt=opt, dstate=dstates,
+                               step=jnp.asarray(step + 1))
         m = jax.device_get(m)
         if not np.isfinite(m["loss"]):
             raise FloatingPointError(f"non-finite loss at step {step}")
-        metrics_log.update(loss=m["loss"])
+        for vi in views:
+            source.report_error(vi, float(m["rgb"]) if "rgb" in m
+                                else float(m["loss"]))
+        metrics_log.update(loss=m["loss"], psnr=m.get("psnr", 0.0))
+        if bool(m["overflow"]):
+            logger.warning("step %d: instance budget overflow "
+                           "(raise SceneConfig.budget)", step)
 
         if (loop.refine_start <= step < loop.refine_stop
                 and step % loop.refine_interval == 0):
             key, sub = jax.random.split(key)
-            from .optim import AdamState
-            out = refine(sub, params.background, bg_alive,
-                         AdamState(mu=opt.mu.background,
-                                   nu=opt.nu.background, step=opt.step),
-                         dstate, _densify_cfg(), scene_scale)
-            params = params._replace(background=out.params)
-            opt = opt._replace(
-                mu=opt.mu._replace(background=out.opt.mu),
-                nu=opt.nu._replace(background=out.opt.nu))
-            bg_alive = out.alive
-            dstate = out.dstate
+            out = refine(sub, state.params.background, state.aux.bg_alive,
+                         _opt_background(state), state.dstate["background"],
+                         _densify_cfg(), scene_scale)
+            state = _apply_background_refine(state, out)
             logger.info("refine@%d[bg]: split %d dup %d alive %d", step,
                         int(out.n_split), int(out.n_dup),
                         int(jnp.sum(out.alive)))
+            if state.params.rigid is not None:
+                key, sub = jax.random.split(key)
+                state = _refine_rigid(state, sub, scene_scale, logger, step)
 
         if (0 < step < loop.refine_stop
                 and step % loop.reset_opacity_interval == 0):
-            from .optim import AdamState
-            bgp, bgo = reset_opacity(
-                params.background,
-                AdamState(mu=opt.mu.background, nu=opt.nu.background,
-                          step=opt.step))
-            params = params._replace(background=bgp)
-            opt = opt._replace(mu=opt.mu._replace(background=bgo.mu),
-                               nu=opt.nu._replace(background=bgo.nu))
+            p, opt_bg = reset_opacity(state.params.background,
+                                      _opt_background(state))
+            state = _set_background(state, p, opt_bg, state.aux.bg_alive,
+                                    state.dstate)
 
         if step % loop.log_interval == 0:
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
 
-    new_aux = state.aux._replace(bg_alive=bg_alive)
-    final = state._replace(params=params, opt=opt, aux=new_aux)
+        if eval_fn is not None and step > 0 and \
+                step % loop.eval_interval == 0:
+            eval_fn(state, step)
+
+        if step > 0 and step % loop.ckpt_interval == 0:
+            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                            (state.params, state.aux, state.step))
+
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
-                    (params, new_aux, jnp.asarray(loop.max_steps)))
-    return final
+                    (state.params, state.aux, state.step))
+    return state

@@ -65,19 +65,44 @@ def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
+@jax.custom_vjp
+def _safe_bce_elem(pred: jax.Array, gt: jax.Array, limit: jax.Array
+                   ) -> jax.Array:
+    """Elementwise clipped BCE whose backward preserves a bounded *nonzero*
+    gradient on clipped values — the reference's SafeBCE custom autograd
+    (OmniRe models/losses.py:33-75): forward clamps each log at ln(limit);
+    backward clamps pred away from the saturating end only, so supervision
+    keeps acting on saturated pixels instead of going dead."""
+    x = jnp.clip(pred, 0.0, 1.0)
+    ln_lim = jnp.log(limit)
+    return -jnp.where(gt < 0.5,
+                      jnp.maximum(jnp.log1p(-x), ln_lim),
+                      jnp.maximum(jnp.log(jnp.maximum(x, 0.0)), ln_lim))
+
+
+def _safe_bce_fwd(pred, gt, limit):
+    x = jnp.clip(pred, 0.0, 1.0)
+    return _safe_bce_elem(pred, gt, limit), (x, gt, limit)
+
+
+def _safe_bce_bwd(res, g):
+    x, gt, limit = res
+    xc = jnp.where(gt < 0.5, jnp.clip(x, 0.0, 1.0 - limit),
+                   jnp.clip(x, limit, 1.0))
+    grad = jnp.where(gt < 0.5, 1.0 / (1.0 - xc), -1.0 / xc)
+    grad = jnp.where(x == gt, 0.0, grad)   # exact match: no gradient
+    return grad * g, jnp.zeros_like(gt), jnp.zeros_like(limit)
+
+
+_safe_bce_elem.defvjp(_safe_bce_fwd, _safe_bce_bwd)
+
+
 def safe_bce(pred: jax.Array, gt: jax.Array, limit: float = 0.1,
              mask: jax.Array | None = None) -> jax.Array:
-    """BCE with inputs clamped to [eps, 1-eps], eps = 0.1^limit_exponent —
-    the reference's SafeBCE custom autograd clamps to keep the backward
-    bounded (OmniRe models/losses.py:33-75). In JAX clamping the primal is
-    enough: autodiff of the clamped expression reproduces the same bounded
-    gradient."""
-    eps = limit
-    p = jnp.clip(pred, eps, 1.0 - eps)
-    return -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p)).mean() \
-        if mask is None else \
-        -jnp.sum((gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p)) * mask) \
-        / jnp.maximum(jnp.sum(mask), 1.0)
+    e = _safe_bce_elem(pred, gt, jnp.asarray(limit, pred.dtype))
+    if mask is None:
+        return e.mean()
+    return jnp.sum(e * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def sky_opacity_loss(alpha: jax.Array, sky_mask: jax.Array,

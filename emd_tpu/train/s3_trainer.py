@@ -200,8 +200,11 @@ def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
         ld["rgb"] = cfg.w_rgb * losses.l1(rgb, batch.rgb)
         ld["ssim"] = cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb)
         if cfg.w_depth > 0 and batch.depth is not None:
+            # expected depth (accumulated/alpha), matching diff_gauss's
+            # normalized depth output the reference supervises against
             ld["depth"] = cfg.w_depth * losses.depth_loss(
-                out.depth, batch.depth, batch.depth > 0, kind="l2")
+                out.depth / jnp.maximum(out.alpha, 1e-3),
+                batch.depth, batch.depth > 0, kind="l2")
         if cfg.w_sky > 0 and batch.sky_mask is not None:
             ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
                 out.alpha, batch.sky_mask)

@@ -167,6 +167,55 @@ def create_scene_train_state(params: SceneParams, aux: SceneAux
     )
 
 
+def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
+                     aux: SceneAux, knn, step, cfg: SceneTrainConfig
+                     ) -> dict:
+    """The full scene loss suite as a dict of weighted terms — shared
+    verbatim by the single-device step and the sharded step (parity by
+    construction). `out` is a SceneRender; `knn` the cached KNN dict."""
+    ld = {}
+    # dynamic-region upweight (omnire.yaml dynamic_region)
+    if (batch.dynamic_mask is not None
+            and cfg.dynamic_region_factor > 1.0):
+        w_px = jnp.where(
+            (step >= cfg.dynamic_region_start)
+            & (batch.dynamic_mask > 0),
+            cfg.dynamic_region_factor, 1.0)
+        err = jnp.abs(out.rgb - batch.rgb) * w_px[..., None]
+        ld["rgb"] = cfg.w_rgb * err.mean()
+    else:
+        ld["rgb"] = cfg.w_rgb * losses.l1(out.rgb, batch.rgb)
+    ld["ssim"] = cfg.w_ssim * losses.ssim_loss(out.rgb, batch.rgb)
+    if cfg.w_sky > 0 and batch.sky_mask is not None:
+        ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
+            out.alpha, batch.sky_mask)
+    if cfg.w_depth > 0 and batch.depth is not None:
+        # expected depth = accumulated/alpha, matching the reference's
+        # gsplat render_mode='RGB+ED' supervision (base.py:393-408)
+        ld["depth"] = cfg.w_depth * losses.depth_loss(
+            out.depth / jnp.maximum(out.alpha, 1e-3),
+            batch.depth, batch.depth > 0,
+            inverse=cfg.depth_inverse)
+    if cfg.w_entropy > 0:
+        ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
+    if cfg.w_smooth > 0:
+        ld["smooth"] = cfg.w_smooth * losses.inverse_depth_smoothness(
+            out.depth / jnp.maximum(out.alpha, 1e-3), out.rgb)
+    # per-class regs (compute_reg_loss protocol, base.py:616-619)
+    if params.rigid is not None:
+        ld["rigid_temporal"] = cfg.w_rigid_temporal * \
+            temporal_smoothness_reg(params.rigid, aux.rigid_aux)
+        if knn is not None and "rigid" in knn:
+            idx, w = knn["rigid"]
+            ld["rigid_emb_knn"] = cfg.w_embedding_knn * \
+                embedding_knn_loss(params.rigid.embeddings, idx, w)
+    if params.deformable is not None:
+        ld["deform_oob"] = cfg.w_deform_oob * out_of_bound_loss(
+            params.deformable, aux.deform_aux, aux.deform_alive,
+            batch.frame_idx, step, cfg.scene.deformable)
+    return ld
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "scene_scale",
                                              "in_test_set"))
 def scene_train_step(state: SceneTrainState, batch: SceneBatch,
@@ -178,43 +227,8 @@ def scene_train_step(state: SceneTrainState, batch: SceneBatch,
         out = render_scene(params, aux, cfg.scene, batch.camera,
                            batch.frame_idx, batch.img_idx, state.step,
                            in_test_set, means2d_offset=m2d_off)
-        ld = {}
-        # dynamic-region upweight (omnire.yaml dynamic_region)
-        if (batch.dynamic_mask is not None
-                and cfg.dynamic_region_factor > 1.0):
-            w_px = jnp.where(
-                (state.step >= cfg.dynamic_region_start)
-                & (batch.dynamic_mask > 0),
-                cfg.dynamic_region_factor, 1.0)
-            err = jnp.abs(out.rgb - batch.rgb) * w_px[..., None]
-            ld["rgb"] = cfg.w_rgb * err.mean()
-        else:
-            ld["rgb"] = cfg.w_rgb * losses.l1(out.rgb, batch.rgb)
-        ld["ssim"] = cfg.w_ssim * losses.ssim_loss(out.rgb, batch.rgb)
-        if cfg.w_sky > 0 and batch.sky_mask is not None:
-            ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
-                out.alpha, batch.sky_mask)
-        if cfg.w_depth > 0 and batch.depth is not None:
-            ld["depth"] = cfg.w_depth * losses.depth_loss(
-                out.depth, batch.depth, batch.depth > 0,
-                inverse=cfg.depth_inverse)
-        if cfg.w_entropy > 0:
-            ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
-        if cfg.w_smooth > 0:
-            ld["smooth"] = cfg.w_smooth * losses.inverse_depth_smoothness(
-                out.depth / jnp.maximum(out.alpha, 1e-3), out.rgb)
-        # per-class regs (compute_reg_loss protocol, base.py:616-619)
-        if params.rigid is not None:
-            ld["rigid_temporal"] = cfg.w_rigid_temporal * \
-                temporal_smoothness_reg(params.rigid, aux.rigid_aux)
-            if state.knn is not None and "rigid" in state.knn:
-                idx, w = state.knn["rigid"]
-                ld["rigid_emb_knn"] = cfg.w_embedding_knn * \
-                    embedding_knn_loss(params.rigid.embeddings, idx, w)
-        if params.deformable is not None:
-            ld["deform_oob"] = cfg.w_deform_oob * out_of_bound_loss(
-                params.deformable, aux.deform_aux, aux.deform_alive,
-                batch.frame_idx, state.step, cfg.scene.deformable)
+        ld = scene_loss_terms(out, batch, params, aux, state.knn,
+                              state.step, cfg)
         total = sum(ld.values())
         aux_out = dict(loss_dict=ld, psnr=losses.psnr(out.rgb, batch.rgb),
                        radii=out.raster.proj.radii,

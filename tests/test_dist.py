@@ -109,23 +109,13 @@ def test_sharded_grads_match_single_device():
             err_msg=f"sharded grad mismatch: {name}")
 
 
-def test_sharded_scene_graph_loss_and_grads():
-    """FULL scene-graph sharded step: background sharded over 'gauss',
-    rigid class + sky replicated — loss and grads match single-device."""
+def _padded_scene(key, with_corrections=False):
     import sys
     sys.path.insert(0, "/root/repo/tests")
-    from test_scene_graph import build_scene, cam_at, H, W
-
-    from emd_tpu.dist import (ShardedSceneBatch, make_mesh,
-                              make_sharded_scene_loss)
-    from emd_tpu.scene import SceneConfig
-    from emd_tpu.train import losses
-    from emd_tpu.train.scene_trainer import SceneTrainConfig
-    from emd_tpu.scene import render_scene
-
+    from test_scene_graph import build_scene
     from emd_tpu.scene import empty_params as _empty
 
-    params, aux = build_scene(jax.random.PRNGKey(4), with_corrections=False)
+    params, aux = build_scene(key, with_corrections=with_corrections)
     # pad background to a multiple of 8 for sharding, using proper
     # dead-slot values (identity quats etc. — zero quats have NaN grads
     # through normalization)
@@ -138,38 +128,76 @@ def test_sharded_scene_graph_loss_and_grads():
         params = params._replace(background=bg)
         aux = aux._replace(bg_alive=jnp.concatenate(
             [aux.bg_alive, jnp.zeros((pad,), bool)]))
+    return params, aux
 
+
+@pytest.mark.parametrize("stepno", [0, 2500])
+def test_sharded_scene_graph_loss_and_grads(stepno):
+    """FULL scene-graph sharded step vs single-device, with the COMPLETE
+    loss suite (rgb/ssim/sky/depth/entropy/smooth + rigid regs + KNN),
+    corrections composed, and the REAL step counter (2500 is past the
+    SH-degree ramp interval, exercising the schedule the round-1 version
+    froze at 0)."""
+    from test_scene_graph import cam_at, H, W
+
+    from emd_tpu.dist import (ShardedSceneBatch, make_mesh,
+                              make_sharded_scene_loss)
+    from emd_tpu.motion.embedding_reg import knn_graph
+    from emd_tpu.scene import SceneConfig, render_scene
+    from emd_tpu.train.scene_trainer import (SceneBatch, SceneTrainConfig,
+                                             scene_loss_terms)
+
+    params, aux = _padded_scene(jax.random.PRNGKey(4),
+                                with_corrections=True)
     n_data, n_gauss = 4, 2
     mesh = make_mesh(n_data=n_data, n_gauss=n_gauss)
     cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 14, interpret=True))
     cams = [cam_at(0.2 * i) for i in range(n_data)]
+    k = jax.random.PRNGKey(11)
+    idx, w = knn_graph(np.asarray(params.rigid.gauss.means),
+                       np.asarray(aux.rigid_alive), k=4)
+    knn = {"rigid": (jnp.asarray(idx), jnp.asarray(w))}
     batch = ShardedSceneBatch(
         K=jnp.stack([c.K for c in cams]),
         viewmat=jnp.stack([c.viewmat for c in cams]),
         rgb=jnp.zeros((n_data, H, W, 3)) + 0.5,
         frame_idx=jnp.arange(n_data, dtype=jnp.int32) % 6,
+        img_idx=jnp.arange(n_data, dtype=jnp.int32),
+        depth=1.0 + 5.0 * jax.random.uniform(k, (n_data, H, W)),
+        sky_mask=(jax.random.uniform(k, (n_data, H, W)) > 0.7
+                  ).astype(jnp.float32),
     )
-    loss_fn = make_sharded_scene_loss(mesh, cfg, W, H, aux, interpret=True)
-    # grad only wrt params; the bool alive shard rides as a second arg
-    fn = lambda p, a, b: loss_fn((p, a), b)
-    val, gparams = jax.jit(jax.value_and_grad(fn))(params, aux.bg_alive,
-                                                   batch)
+    loss_fn = make_sharded_scene_loss(mesh, cfg, W, H, interpret=True)
+    n_total = (params.background.capacity + params.rigid.gauss.capacity)
+    off0 = jnp.zeros((n_data, n_total, 2), jnp.float32)
+    sno = jnp.asarray(stepno, jnp.int32)
 
-    # single-device reference
-    def single(params):
+    def fn(p, off):
+        return loss_fn(p, aux, off, knn, batch, sno)
+
+    (val, aux_out), (gparams, goff) = jax.jit(
+        jax.value_and_grad(fn, argnums=(0, 1), has_aux=True))(params, off0)
+
+    # single-device reference: same render + loss suite per camera
+    def single(params, offs):
         vals = []
         for i in range(n_data):
+            sb = SceneBatch(camera=cams[i], rgb=batch.rgb[i],
+                            frame_idx=batch.frame_idx[i],
+                            img_idx=batch.img_idx[i],
+                            depth=batch.depth[i],
+                            sky_mask=batch.sky_mask[i])
             out = render_scene(params, aux, cfg.scene, cams[i],
-                               batch.frame_idx[i], jnp.asarray(0),
-                               jnp.asarray(0))
-            vals.append(cfg.w_rgb * losses.l1(out.rgb, batch.rgb[i])
-                        + cfg.w_ssim * losses.ssim_loss(out.rgb,
-                                                        batch.rgb[i]))
+                               sb.frame_idx, sb.img_idx, sno,
+                               means2d_offset=offs[i])
+            ld = scene_loss_terms(out, sb, params, aux, knn, sno, cfg)
+            vals.append(sum(ld.values()))
         return jnp.mean(jnp.stack(vals))
 
-    v0, g0 = jax.value_and_grad(single)(params)
+    (v0), (g0, goff0) = jax.value_and_grad(
+        single, argnums=(0, 1))(params, off0)
     np.testing.assert_allclose(float(val), float(v0), rtol=2e-4)
-    for name in ("background", "rigid"):
+    for name in ("background", "rigid", "sky", "affine", "cam_pose"):
         a = getattr(g0, name)
         b = getattr(gparams, name)
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
@@ -179,43 +207,45 @@ def test_sharded_scene_graph_loss_and_grads():
             np.testing.assert_allclose(
                 np.asarray(lb), np.asarray(la), atol=1e-3 * scale,
                 rtol=2e-3, err_msg=f"scene-sharded grad mismatch: {name}")
+    # per-camera means2d grads preserved (densify-stat parity)
+    scale = np.maximum(np.nanmax(np.abs(np.asarray(goff0))), 1e-6)
+    np.testing.assert_allclose(np.asarray(goff), np.asarray(goff0),
+                               atol=1e-3 * scale, rtol=2e-3)
+    # radii returned per camera for visibility stats
+    assert aux_out["radii"].shape == (n_data, n_total)
+    # at step 2500 the SH ramp must be active: sh_rest gradients nonzero
+    if stepno > 0:
+        assert float(jnp.nansum(jnp.abs(gparams.background.sh_rest))) > 0
 
 
 def test_sharded_scene_training_converges():
     """Multi-device scene-graph TRAINING (not just one step): the sharded
-    step + Adam + densification stats drive the loss down on the virtual
-    mesh."""
+    step + Adam + densification stats (background AND rigid) drive the
+    loss down on the virtual mesh."""
     import sys
     sys.path.insert(0, "/root/repo/tests")
-    from test_scene_graph import build_scene, cam_at, H, W
+    from test_scene_graph import cam_at, H, W
     from emd_tpu.dist import make_mesh
     from emd_tpu.dist.train_sharded import (ShardedSceneBatch,
                                             make_sharded_scene_step)
-    from emd_tpu.scene import SceneConfig, empty_params as _empty
+    from emd_tpu.scene import SceneConfig
     from emd_tpu.train.scene_trainer import SceneTrainConfig
     from emd_tpu.train.optim import adam_init
     from emd_tpu.train.densify import DensifyState
 
-    params, aux = build_scene(jax.random.PRNGKey(9), with_corrections=False)
-    nb = params.background.capacity
-    pad = (-nb) % 8
-    if pad:
-        filler = _empty(pad, params.background.sh_bases)
-        params = params._replace(background=jax.tree.map(
-            lambda x, f: jnp.concatenate([x, f]), params.background,
-            filler))
-        aux = aux._replace(bg_alive=jnp.concatenate(
-            [aux.bg_alive, jnp.zeros((pad,), bool)]))
-
+    params, aux = _padded_scene(jax.random.PRNGKey(9))
     n_data, n_gauss = 4, 2
     mesh = make_mesh(n_data=n_data, n_gauss=n_gauss)
     cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 14, interpret=True),
                            lr_means=2e-3)
     jit_step, _ = make_sharded_scene_step(mesh, cfg, aux, W, H,
                                           scene_scale=2.0, interpret=True)
-    step = jit_step(params)
     opt = adam_init(params)
-    dstate = DensifyState.create(params.background.capacity)
+    dstates = {
+        "background": DensifyState.create(params.background.capacity),
+        "rigid": DensifyState.create(params.rigid.gauss.capacity),
+    }
+    step = jit_step(params, aux, dstates, None)
 
     cams = [cam_at(0.2 * i) for i in range(n_data)]
     target = jnp.zeros((n_data, H, W, 3)) + 0.4
@@ -223,16 +253,21 @@ def test_sharded_scene_training_converges():
         K=jnp.stack([c.K for c in cams]),
         viewmat=jnp.stack([c.viewmat for c in cams]),
         rgb=target,
-        frame_idx=jnp.arange(n_data, dtype=jnp.int32) % 6)
+        frame_idx=jnp.arange(n_data, dtype=jnp.int32) % 6,
+        img_idx=jnp.arange(n_data, dtype=jnp.int32))
 
     first = None
     p = params
     for i in range(12):
-        p, opt, dstate, m = step(p, aux.bg_alive, opt, dstate, batch,
-                                 jnp.asarray(i))
+        p, opt, dstates, m = step(p, aux, opt, dstates, None, batch,
+                                  jnp.asarray(i))
         if first is None:
             first = float(m["loss"])
     last = float(m["loss"])
     assert np.isfinite(last)
     assert last < first * 0.9, f"sharded training no progress: {first} -> {last}"
-    assert float(dstate.grad_accum.max()) > 0  # densify stats accumulated
+    # densify stats accumulated with radii-visibility semantics
+    assert float(dstates["background"].grad_accum.max()) > 0
+    assert int(dstates["background"].count.max()) > 0
+    assert float(dstates["background"].max_radii.max()) > 0
+    assert float(dstates["rigid"].grad_accum.max()) > 0

@@ -140,6 +140,35 @@ def test_binning_counts():
         assert np.all(np.diff(d) >= 0)
 
 
+def test_tight_binning_culls_but_renders_identically():
+    """The conservative ellipse-tile test + opacity-aware radius must cut
+    instances while changing NOTHING the compositor produces (every culled
+    contribution is below the alpha_eps skip by construction)."""
+    cam = small_cam(128, 96)
+    means, quats, scales, opac, colors = random_scene(
+        jax.random.PRNGKey(11), 300)
+    # elongated splats make bbox-vs-ellipse waste visible
+    scales = scales.at[:, 0].mul(6.0)
+    proj3 = project_gaussians(means, quats, scales, cam.viewmat, cam.K,
+                              cam.width, cam.height)
+    loose = bin_gaussians(proj3.means2d, proj3.radii, proj3.depths,
+                          cam.width, cam.height, TILE, budget=1 << 15)
+    projo = project_gaussians(means, quats, scales, cam.viewmat, cam.K,
+                              cam.width, cam.height, opacities=opac)
+    tight = bin_gaussians(projo.means2d, projo.radii, projo.depths,
+                          cam.width, cam.height, TILE, budget=1 << 15,
+                          conics=projo.conics, opacities=opac)
+    assert int(tight.num_instances) < int(loose.num_instances)
+
+    oracle, _ = render_oracle(means, quats, scales, opac, colors, cam,
+                              tile_size=TILE)
+    out = rasterize(means, quats, scales, opac, colors, cam,
+                    budget=1 << 15, interpret=True)
+    assert not bool(out.binning.overflow)
+    np.testing.assert_allclose(out.rgb, oracle.rgb, atol=2e-5)
+    np.testing.assert_allclose(out.alpha, oracle.alpha, atol=2e-5)
+
+
 def test_opaque_overdraw_saturates():
     """Many stacked opaque gaussians: alpha ~ 1, color ~ front gaussian."""
     cam = small_cam(TILE, TILE)
