@@ -34,3 +34,20 @@ class ErrorBufferSampler:
 
     def state(self) -> np.ndarray:
         return self.scores.copy()
+
+    def snapshot(self) -> dict:
+        """Full sampler state (scores + MT19937 RNG) as arrays, so a
+        resumed run replays the exact same image sequence (the reference
+        caches its error buffer across restarts, train.py:306-334)."""
+        st = self.rng.get_state()
+        return dict(scores=self.scores.copy(),
+                    mt=np.asarray(st[1], np.uint32),
+                    mt_pos=np.int64(st[2]),
+                    has_gauss=np.int64(st[3]),
+                    cached=np.float64(st[4]))
+
+    def restore(self, snap: dict) -> None:
+        self.scores = np.asarray(snap["scores"], np.float64).copy()
+        self.rng.set_state(("MT19937", np.asarray(snap["mt"], np.uint32),
+                            int(snap["mt_pos"]), int(snap["has_gauss"]),
+                            float(snap["cached"])))

@@ -49,10 +49,15 @@ def is_moving(ann: InstanceAnn, thresh: float = 2.0) -> bool:
 
 def seed_background(scene: SceneData, n_lidar: int = 60_000,
                     n_random: int = 40_000, capacity_factor: float = 2.0,
-                    seed: int = 0, sh_bases: int = 16):
-    """Lidar-seeded + random background points, box-filtered."""
+                    seed: int = 0, sh_bases: int = 16,
+                    with_times: bool = False):
+    """Lidar-seeded + random background points, box-filtered. With
+    `with_times`, also returns each seed's capture time in [0, 1]
+    (capacity-padded) — PVG initializes its life peaks tau from these
+    (reference pvg.py:53)."""
     rng = np.random.RandomState(seed)
-    pts_l, col_l = [], []
+    pts_l, col_l, t_l = [], [], []
+    tden = max(scene.num_frames - 1, 1)
     if scene.lidar_points:
         for fi in range(scene.num_frames):
             pts = scene.lidar_points[fi]
@@ -70,14 +75,17 @@ def seed_background(scene: SceneData, n_lidar: int = 60_000,
                                    scene.cam_to_worlds[fi, 0])
             pts_l.append(pts)
             col_l.append(cols)
+            t_l.append(np.full(pts.shape[0], fi / tden, np.float32))
         pts_all = np.concatenate(pts_l)
         col_all = np.concatenate(col_l)
+        t_all = np.concatenate(t_l)
         if pts_all.shape[0] > n_lidar:
             sel = rng.choice(pts_all.shape[0], n_lidar, replace=False)
-            pts_all, col_all = pts_all[sel], col_all[sel]
+            pts_all, col_all, t_all = pts_all[sel], col_all[sel], t_all[sel]
     else:
         pts_all = np.zeros((0, 3), np.float32)
         col_all = np.zeros((0, 3), np.float32)
+        t_all = np.zeros((0,), np.float32)
 
     lo, hi = scene.aabb()
     rand_pts = rng.uniform(lo, hi, (n_random, 3)).astype(np.float32)
@@ -87,8 +95,15 @@ def seed_background(scene: SceneData, n_lidar: int = 60_000,
     # round capacity to a multiple of 256 so gaussian-axis sharding always
     # divides (mesh "gauss" sizes are small powers of two)
     capacity = -(-int(pts.shape[0] * capacity_factor) // 256) * 256
-    return params_from_points(pts, np.clip(cols, 0, 1), capacity,
-                              sh_bases=sh_bases, seed=seed)
+    params, alive = params_from_points(pts, np.clip(cols, 0, 1), capacity,
+                                       sh_bases=sh_bases, seed=seed)
+    if not with_times:
+        return params, alive
+    times = np.zeros((capacity,), np.float32)
+    times[:t_all.shape[0]] = t_all
+    times[t_all.shape[0]:pts.shape[0]] = rng.uniform(
+        0, 1, pts.shape[0] - t_all.shape[0])
+    return params, alive, times
 
 
 def seed_instances(scene: SceneData, classes: tuple[str, ...],

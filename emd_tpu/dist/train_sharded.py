@@ -34,6 +34,7 @@ from ..raster.composite_pallas import (
     tiles_to_image,
 )
 from ..raster.projection import project_gaussians
+from ..raster.rasterize import expand_instances
 from ..core.gaussians import GaussianParams, activate
 from ..train import losses
 from ..train.optim import AdamState, adam_update
@@ -108,7 +109,7 @@ def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
         packed = pack_instances(means2d, conics, colors_g, opac_g, depths)
         packed = jnp.concatenate(
             [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
-        inst = jnp.take(packed, binning.gid, axis=1)
+        inst = expand_instances(packed, binning)
         tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
                                 interpret)
         rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,

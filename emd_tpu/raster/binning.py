@@ -2,11 +2,12 @@
 
 Replaces the CUDA backends' atomic tile binning + radix sort (the
 `isect_tiles`/`isect_offset_encode` phase of gsplat and diff_gauss's
-DuplicateWithKeys/SortPairs). TPU has no global atomics, and measured XLA
-costs on real hardware drive the design: a 2M-element single-key sort is
-~4 ms, but 2M-element gathers are ~15 ms each and scatter-ADDs 30-40 ms.
-So the pipeline uses ONE fused-key sort and replaces every large gather /
-scatter-add with cumsum / associative-scan "segment fill" decompressions:
+DuplicateWithKeys/SortPairs). TPU has no global atomics; measured XLA
+primitive costs on real hardware drive the design (per 2M elements on a
+v5e chip: single-key sort ~6 ms, gather ~3 ms/row into a 2M table,
+cummax ~0.4 ms, but scatter-SET ~13 ms and scatter-ADD ~36 ms). The
+pipeline is built exclusively from sorts + gathers + one cummax, with
+ZERO budget-sized scatters in either direction:
 
   1. per-gaussian TIGHT tile coverage: a conservative ellipse-vs-tile test
      (Mahalanobis triangle inequality — a tile is kept iff some pixel in it
@@ -17,23 +18,31 @@ scatter-add with cumsum / associative-scan "segment fill" decompressions:
      fall back to the bbox. This typically shrinks the instance count (and
      with it the static budget every downstream index op scales with) well
      below the bbox count the CUDA backends use.
-  2. expansion WITHOUT per-slot gathers: per-gaussian attributes (incl. the
-     coverage mask) are scatter-written once at each gaussian's first slot
-     (N-sized scatter) and propagated across the instance axis with a
-     last-valid associative scan; each instance decodes its tile as the
-     local-th set bit of the mask (5-step popcount binary search).
-  3. one `jax.lax.sort` on a fused uint32 key: tile id in the high bits,
+  2. gid expansion as ONE cummax: gaussian ids are written at their segment
+     starts (an N-sized scatter-max) and — because gid is itself strictly
+     ascending across writers — a single `jax.lax.cummax` forward-fills the
+     owner of every instance slot. Everything else per instance (segment
+     start, bbox geometry, coverage mask, depth bits) is a narrow gather
+     by gid; each instance decodes its tile as the local-th set bit of its
+     mask (5-step popcount binary search).
+  3. one `jax.lax.sort` on a fused uint32 key — tile id in the high bits,
      the top bits of the positive-float depth pattern in the low bits
      (positive IEEE floats compare like their bit patterns — the CUDA
-     radix-key trick, truncated to 32 bits)
-  4. per-tile counts from the *sorted* array via searchsorted (T+1 binary
-     searches — no histogram scatter-add), chunk-aligned padded offsets,
-     and destinations again by segment fill; one scatter-set writes the
-     padded gaussian-id layout the Pallas compositor consumes.
+     radix-key trick) — carrying the pre-sort slot index `perm`.
+  4. per-tile counts from the *sorted* keys via searchsorted (T+1 binary
+     searches — no histogram scatter-add). The chunk-PADDED layout the
+     Pallas compositor consumes is built by BROADCAST, not scatter: all
+     per-chunk scalars (owning tile, source shift, valid end) live in
+     tiny (n_chunks,) arrays expanded by broadcasting, and the padded gid
+     array is one gather through the composed (padded slot -> sorted slot
+     -> pre slot -> gaussian) map.
 
-Everything here is index computation: gradients never flow through it (the
-differentiable path re-gathers gaussian attributes with jnp.take using the
-integer ids produced here).
+Gradients never flow through the index math, but the binning result
+carries the index arrays (`perm`, `dest`, `seg_starts/ends`) that let the
+instance-expansion custom VJP in rasterize.py reduce per-instance
+gradients to per-gaussian gradients with a sort + gather + cumsum
+(replacing XLA's 36 ms take-VJP scatter-add with ~15 ms of sort-adjacent
+ops — see `expand_instances`).
 """
 from __future__ import annotations
 
@@ -58,11 +67,25 @@ class Binning(NamedTuple):
                   (before padding); if > budget M the binning overflowed
                   and the caller should re-trace with a larger budget.
     overflow:     () bool.
+
+    Residual index maps for the instance-expansion custom VJP
+    (all stop-gradient int32; see rasterize.expand_instances):
+    gid_sorted:   (M,) — gaussian id per sorted slot (n for invalid).
+    dest:         (M,) — final padded slot of each sorted slot (dump
+                  chunk for invalid slots); NEAR-MONOTONE, so gathers
+                  through it are cache-local.
+    seg_starts:   (N,) — each gaussian's first pre-sort instance slot
+                  (clipped to M).
+    seg_ends:     (N,) — one past its last pre-sort slot (clipped to M).
     """
     gid: jax.Array
     tile_offsets: jax.Array
     num_instances: jax.Array
     overflow: jax.Array
+    gid_sorted: jax.Array
+    dest: jax.Array
+    seg_starts: jax.Array
+    seg_ends: jax.Array
 
 
 def num_tiles(width: int, height: int, tile_size: int) -> tuple[int, int]:
@@ -87,59 +110,19 @@ def opacity_sigma_cut(opacities: jax.Array | None, n: int,
     return jnp.minimum(MAX_SIGMA, cut) if clamp else cut
 
 
-def _segment_fill(positions, values, valid, length, widths):
-    """Forward-fill per-writer values across instance ranges: write each
-    value at its (ASCENDING) position, propagate it until the next written
-    position. Invalid writers go to a dump slot.
-
-    TPU-native formulation: position-tagged packed cummax. Every 31-bit
-    word carries (write_position << pb) | payload_chunk; because write
-    positions strictly increase across writers, the packed words are
-    monotone at write sites and ONE jax.lax.cummax per word propagates
-    the latest writer — measured ~10x cheaper than the tuple-carry
-    associative scan with select combine it replaces (23.3 ms -> ~5 ms
-    for 6 values at 2M on a v5e chip). `widths` gives each value's bit
-    width (values must be non-negative and < 2**width); wide values are
-    split across words automatically.
-
-    Returns (filled_values, start_f) where start_f is the write position
-    whose value each slot carries (the segment start — free, it is the
-    tag)."""
-    tag_bits = max(1, int(length).bit_length())
-    pb = 31 - tag_bits
-    assert pb >= 4, f"budget too large for packed fill: {length}"
-    pos = jnp.where(valid, positions, length).astype(jnp.int32)
-
-    specs = []          # (value_idx, shift, bits) per word
-    words = []
-    for vi, (v, w) in enumerate(zip(values, widths)):
-        u = v.astype(jnp.uint32)
-        s = 0
-        while s < w:
-            b = min(pb, w - s)
-            chunk = ((u >> jnp.uint32(s))
-                     & jnp.uint32((1 << b) - 1)).astype(jnp.int32)
-            specs.append((vi, s, b))
-            words.append(chunk)
-            s += b
-
-    filled_words = []
-    for chunk in words:
-        packed = (pos << pb) | chunk
-        buf = jnp.zeros((length + 1,), jnp.int32).at[pos].max(packed)
-        filled_words.append(jax.lax.cummax(buf[:length], axis=0))
-
-    start_f = filled_words[0] >> pb
-    outs = []
-    for vi, v in enumerate(values):
-        acc = jnp.zeros((length,), jnp.uint32)
-        for (vj, s, b), wf in zip(specs, filled_words):
-            if vj == vi:
-                acc = acc | ((wf.astype(jnp.uint32)
-                              & jnp.uint32((1 << b) - 1))
-                             << jnp.uint32(s))
-        outs.append(acc.astype(v.dtype))
-    return outs, start_f
+def _gid_fill(starts_c, valid, n, budget):
+    """Forward-fill the owning gaussian id across instance slots: write
+    gid at each gaussian's (strictly ascending) segment start, propagate
+    to the next start. Because gid itself ascends with the write position
+    it is its own monotone tag — one N-sized scatter-max plus ONE
+    `jax.lax.cummax` over the budget axis does the whole fill (~2 ms at
+    2M vs ~20 ms for the multi-word packed-scan fill it replaces).
+    Returns (budget,) int32 gid, == n for slots before any writer."""
+    pos = jnp.where(valid, starts_c, budget).astype(jnp.int32)
+    gsel = jnp.arange(n, dtype=jnp.int32)
+    buf = jnp.full((budget + 1,), -1, jnp.int32).at[pos].max(gsel)
+    gid_f = jax.lax.cummax(buf[:budget], axis=0)
+    return jnp.where(gid_f < 0, n, gid_f)
 
 
 def _coverage_mask(means2d, conics, s_cut, tx0, ty0, w_t, h_t, tile_size):
@@ -254,45 +237,52 @@ def bin_gaussians(
     total = offsets[-1]
     overflow = total > budget
     starts = offsets - counts                          # exclusive
+    starts_c = jnp.minimum(starts, budget)
+    ends_c = jnp.minimum(offsets, budget)
 
-    # ---- expansion by ONE segment fill (no per-slot gathers); the depth
-    # sort-key bits ride in the same packed scan
-    dbits_g = jax.lax.bitcast_convert_type(
-        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
-    tile_bits = max(1, int(n_tiles).bit_length())
-    db = 31 - tile_bits
-    gsel = jnp.arange(n, dtype=jnp.int32)
-    # geom word with static field widths: tx0 | ty0 | w | bbox-fallback
+    # ---- gid expansion: one cummax fill, then narrow gathers by gid
+    gid_f = _gid_fill(starts_c, counts > 0, n, budget)
+
+    # per-gaussian decode table gathered per instance: geom word
+    # (tx0 | ty0 | w | bbox-fallback flag), coverage mask, depth bits,
+    # segment start — 5 int32 rows, one gather
     bx = max(1, int(ntx).bit_length())
     by = max(1, int(nty).bit_length())
     bw = bx
     geom = (tx0 | (ty0 << bx) | (jnp.maximum(w_t, 1) << (bx + by))
             | jnp.where(w_t * h_t > MASK_BITS, 1 << (bx + by + bw), 0))
-    (geom_f, gid_f, dkey_f, mlo_f, mhi_f), start_f = _segment_fill(
-        jnp.minimum(starts, budget),
-        (geom, gsel, (dbits_g >> (32 - db)).astype(jnp.int32),
-         mask_lo, mask_hi),
-        counts > 0, budget,
-        widths=(bx + by + bw + 1, max(1, int(n).bit_length()), db, 32, 32))
+    dbits_g = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
+    as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa:E731
+    dec = jnp.stack([geom, as_i32(mask_lo), as_i32(mask_hi),
+                     as_i32(dbits_g), starts_c])       # (5, N)
+    dec = jnp.concatenate([dec, jnp.zeros((5, 1), jnp.int32)], axis=1)
+    deci = jnp.take(dec, gid_f, axis=1)                # (5, budget)
+    geom_f = deci[0]
+    mlo_f = jax.lax.bitcast_convert_type(deci[1], jnp.uint32)
+    mhi_f = jax.lax.bitcast_convert_type(deci[2], jnp.uint32)
+    dbits_f = jax.lax.bitcast_convert_type(deci[3], jnp.uint32)
+    start_f = deci[4]
 
     slots = jnp.arange(budget, dtype=jnp.int32)
-    in_range = slots < total
+    in_range = (slots < total) & (gid_f < n)
     local = slots - start_f
     tx0_f = geom_f & ((1 << bx) - 1)
     ty0_f = (geom_f >> bx) & ((1 << by) - 1)
-    w_f = (geom_f >> (bx + by)) & ((1 << bw) - 1)
+    w_f = jnp.maximum((geom_f >> (bx + by)) & ((1 << bw) - 1), 1)
     bbox_f = (geom_f >> (bx + by + bw)) & 1
     b = jnp.where(bbox_f == 1, local,
                   _kth_set_bit(mlo_f, mhi_f, jnp.minimum(local, 63)))
     tile_x = tx0_f + b % w_f
     tile_y = ty0_f + b // w_f
     tile_id = jnp.where(in_range, tile_y * ntx + tile_x, n_tiles)
-    gid = jnp.where(in_range, gid_f, n)
 
-    # ---- one fused-key sort
+    # ---- one fused-key sort carrying the pre-sort slot index
+    tile_bits = max(1, int(n_tiles).bit_length())
+    db = 31 - tile_bits
     key = ((tile_id.astype(jnp.uint32) << db)
-           | dkey_f.astype(jnp.uint32))
-    key_s, gid_s = jax.lax.sort((key, gid), num_keys=1)
+           | (dbits_f >> (32 - db)))
+    key_s, perm = jax.lax.sort((key, slots), num_keys=1)
     tile_s = (key_s >> db).astype(jnp.int32)
 
     # ---- per-tile counts from the sorted keys (no scatter-add)
@@ -305,22 +295,46 @@ def bin_gaussians(
         jnp.zeros((1,), jnp.int32), jnp.cumsum(tc_pad).astype(jnp.int32)
     ])
     m_pad = budget + n_tiles * (chunk - 1) + chunk
+    n_chunks = m_pad // chunk
 
-    # destination = i + (tile_offsets[t] - starts_t[t]), with the per-tile
-    # shift decompressed by segment fill over the sorted order
-    shift_vals = tile_offsets[:n_tiles] - starts_t[:n_tiles]
-    (shift_f,), _ = _segment_fill(starts_t[:n_tiles], (shift_vals,),
-                                  tc > 0, budget,
-                                  widths=(max(1, int(m_pad).bit_length()),))
-    i_idx = jnp.arange(budget, dtype=jnp.int32)
-    dest = jnp.where(tile_s < n_tiles, i_idx + shift_f, m_pad - chunk)
+    # sorted slot j lands at padded slot j + shift[tile]; invalid slots
+    # (beyond the instance total) land in the trailing dump chunk, which
+    # no tile segment reaches and the compositor never reads
+    shift_tbl = jnp.append(tile_offsets[:n_tiles] - starts_t[:n_tiles],
+                           0)                           # (T+1,)
+    dest = jnp.where(
+        tile_s < n_tiles,
+        jnp.arange(budget, dtype=jnp.int32) + jnp.take(shift_tbl, tile_s),
+        m_pad - chunk)
 
-    gid_pad = jnp.full((m_pad,), n, jnp.int32).at[dest].set(
-        jnp.where(tile_s < n_tiles, gid_s, n))
+    # ---- padded layout by BROADCAST over (n_chunks, chunk): per-chunk
+    # owning tile -> per-chunk source base + valid end, no m_pad scatters
+    cid = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(tile_offsets, cid * chunk, side="right") - 1,
+        0, n_tiles)
+    c_shift = jnp.take(shift_tbl, jnp.minimum(chunk_tile, n_tiles))
+    seg_end = jnp.append(tile_offsets[:n_tiles] + tc, 0)  # padded-slot end
+    c_end = jnp.where(chunk_tile < n_tiles,
+                      jnp.take(seg_end, jnp.minimum(chunk_tile, n_tiles)),
+                      0)
+    o_local = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    o = cid[:, None] * chunk + o_local                  # (n_chunks, chunk)
+    src = (o - c_shift[:, None]).reshape(-1)            # sorted slot per o
+    valid_o = (o < c_end[:, None]).reshape(-1)
+
+    # composed map: padded slot -> sorted slot -> pre slot -> gaussian
+    gid_sorted = jnp.take(jnp.where(in_range, gid_f, n), perm)
+    gid_pad = jnp.where(
+        valid_o, jnp.take(gid_sorted, jnp.clip(src, 0, budget - 1)), n)
 
     return Binning(
         gid=gid_pad,
         tile_offsets=tile_offsets,
         num_instances=total,
         overflow=overflow,
+        gid_sorted=gid_sorted,
+        dest=dest,
+        seg_starts=starts_c,
+        seg_ends=ends_c,
     )

@@ -31,5 +31,5 @@ from .s3_trainer import (
     s3_lr_tree,
     s3_train_step,
 )
-from .loop import LoopConfig, fit_scene
+from .loop import LoopConfig, fit_scene, fit_single
 from .s3_loop import S3LoopConfig, fit_s3

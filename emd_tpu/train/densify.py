@@ -42,6 +42,8 @@ class DensifyState(NamedTuple):
     grad_accum: jax.Array   # (C,) summed screen-grad norms
     count: jax.Array        # (C,) int32 visibility count
     max_radii: jax.Array    # (C,) max relative screen radius seen
+    t_grad: jax.Array       # (C,) summed |dL/dtau| (PVG trigger,
+    #                         pvg.py:113-125; zeros for other models)
 
     @staticmethod
     def create(capacity: int) -> "DensifyState":
@@ -49,15 +51,17 @@ class DensifyState(NamedTuple):
             grad_accum=jnp.zeros((capacity,), jnp.float32),
             count=jnp.zeros((capacity,), jnp.int32),
             max_radii=jnp.zeros((capacity,), jnp.float32),
+            t_grad=jnp.zeros((capacity,), jnp.float32),
         )
 
 
 def accumulate_stats(st: DensifyState, means2d_grad: jax.Array,
-                     radii: jax.Array, width: int, height: int
-                     ) -> DensifyState:
-    """Per-step update (reference after_train, vanilla.py:163-191). The
-    screen-grad is normalized to the [-1,1] NDC convention the thresholds
-    assume (grad * resolution/2)."""
+                     radii: jax.Array, width: int, height: int,
+                     t_grad: jax.Array | None = None) -> DensifyState:
+    """Per-step update (reference after_train, vanilla.py:163-191; PVG's
+    tau-grad accumulation pvg.py:113-125). The screen-grad is normalized
+    to the [-1,1] NDC convention the thresholds assume
+    (grad * resolution/2)."""
     visible = radii > 0
     g = means2d_grad * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
     gnorm = jnp.linalg.norm(g, axis=-1)
@@ -68,6 +72,8 @@ def accumulate_stats(st: DensifyState, means2d_grad: jax.Array,
             st.max_radii,
             jnp.where(visible, radii.astype(jnp.float32)
                       / float(max(width, height)), 0.0)),
+        t_grad=(st.t_grad if t_grad is None
+                else st.t_grad + jnp.where(visible, jnp.abs(t_grad), 0.0)),
     )
 
 
@@ -118,6 +124,8 @@ def refine(
     cfg: DensifyConfig,
     scene_scale: float,
     use_screen_cull: jax.Array | bool = False,
+    extra_candidate: jax.Array | None = None,
+    extra_split: jax.Array | None = None,
 ) -> RefineOut:
     """One densify+prune pass. Fully jittable.
 
@@ -125,7 +133,13 @@ def refine(
     GaussianParams — extra per-gaussian arrays (motion embeddings, PVG
     params, point ids...) ride along and children inherit their parent's
     rows (the reference carries embeddings through densification,
-    rigid.py refinement_after:278-383, S3 gaussian_model.py:479-556)."""
+    rigid.py refinement_after:278-383, S3 gaussian_model.py:479-556).
+
+    `extra_candidate`/`extra_split` (C,) bool widen the trigger/split
+    criteria — PVG's tau-gradient trigger and temporal-size split
+    (pvg.py:166-199: high_grads = high_xyz | high_t, splits |= splits_t;
+    where the reference can both split AND dup one gaussian, split wins
+    here — the controller keeps the masks disjoint)."""
     is_plain = isinstance(params, GaussianParams)
     gauss = params if is_plain else params[0]
     cap = alive.shape[0]
@@ -134,8 +148,13 @@ def refine(
     avg_grad = dstate.grad_accum / jnp.maximum(
         dstate.count.astype(jnp.float32), 1.0)
 
-    candidate = alive & (avg_grad > cfg.grad_thresh) & (dstate.count > 0)
+    trigger = avg_grad > cfg.grad_thresh
+    if extra_candidate is not None:
+        trigger = trigger | extra_candidate
+    candidate = alive & trigger & (dstate.count > 0)
     big = jnp.max(scales, axis=-1) > cfg.percent_dense * scene_scale
+    if extra_split is not None:
+        big = big | extra_split
     split_mask = candidate & big
     dup_mask = candidate & ~big
 

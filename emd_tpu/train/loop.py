@@ -60,8 +60,14 @@ def fit_scene(
     params_aux=None,
     eval_fn=None,
     mesh=None,
+    resume: str | None = None,
 ) -> SceneTrainState:
-    """Train the scene-graph model on a scene; returns the final state."""
+    """Train the scene-graph model on a scene; returns the final state.
+
+    `resume`: path to a full-state checkpoint written by this loop —
+    training continues from its step, bit-identical to an uninterrupted
+    run (reference: OmniRe resume_from_checkpoint base.py:688-698 +
+    tools/train.py:128-135; S3 capture/restore incl. optimizer state)."""
     # local imports: the data package imports batch types from this
     # package, so pulling data symbols lazily avoids an import cycle
     from ..data.batches import BatchSource
@@ -90,13 +96,19 @@ def fit_scene(
                          seed=loop.seed)
     metrics_log = MetricLogger(out_dir)
     key = jax.random.PRNGKey(loop.seed)
+    start_step = 0
+    if resume is not None:
+        state, key, start_step = restore_train_checkpoint(
+            resume, state, source, key)
+        logger.info("resumed from %s at step %d", resume, start_step)
 
     if mesh is not None:
         return _fit_scene_sharded(scene, out_dir, cfg, loop, state,
                                   scene_scale, source, metrics_log, key,
-                                  mesh, logger, eval_fn=eval_fn)
+                                  mesh, logger, eval_fn=eval_fn,
+                                  start_step=start_step)
 
-    for step in range(loop.max_steps):
+    for step in range(start_step, loop.max_steps):
         if loop.downscale_times > 0:
             level = max(0, loop.downscale_times - step // loop.double_steps)
             source.set_downscale(1 << level)
@@ -159,13 +171,127 @@ def fit_scene(
             eval_fn(state, step)
 
         if step > 0 and step % loop.ckpt_interval == 0:
-            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
-                            (state.params, state.aux, state.step))
+            save_train_checkpoint(
+                os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                state._replace(step=jnp.asarray(step + 1)), source, key)
 
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.aux, state.step))
+    save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
+                          state, source, key)
     logger.info("done: %s", metrics_log.line(loop.max_steps,
                                              loop.max_steps))
+    return state
+
+
+def _full_ckpt_tree(state, source, key):
+    """Complete resumable train state: params + optimizer moments +
+    densify stats + sampler scores/RNG + loop RNG key (the reference's
+    S3 capture() tuple incl. optimizer state, gaussian_model.py:74-118,
+    plus OmniRe's cached error buffer, train.py:306-334)."""
+    tree = dict(params=state.params, aux=state.aux, opt=state.opt,
+                dstate=state.dstate, step=state.step, key=key,
+                sampler=source.sampler.snapshot())
+    if state.knn is not None:
+        tree["knn"] = state.knn
+    return tree
+
+
+def save_train_checkpoint(path, state, source, key):
+    save_checkpoint(path, _full_ckpt_tree(state, source, key))
+
+
+def restore_train_checkpoint(path, state, source, key):
+    """Restore a full-state checkpoint into a freshly-seeded state of the
+    same structure. Returns (state, key, start_step) such that continuing
+    the loop from start_step is bit-identical to never having stopped
+    (tests/test_resume.py)."""
+    from ..utils.checkpoint import load_checkpoint
+
+    data = np.load(path)
+    has_knn = any("knn" in k for k in data.files)
+    if has_knn and state.knn is None and state.params.rigid is not None:
+        idx, w = knn_graph(np.asarray(state.params.rigid.gauss.means),
+                           np.asarray(state.aux.rigid_alive), k=8)
+        state = state._replace(knn={"rigid": (jnp.asarray(idx),
+                                              jnp.asarray(w))})
+    template = _full_ckpt_tree(state, source, key)
+    restored = load_checkpoint(path, template)
+    source.sampler.restore(restored["sampler"])
+    state = state._replace(
+        params=restored["params"], aux=restored["aux"],
+        opt=restored["opt"], dstate=restored["dstate"],
+        step=jnp.asarray(restored["step"]),
+        knn=restored.get("knn", state.knn))
+    return state, jnp.asarray(restored["key"]), int(restored["step"])
+
+
+def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
+               loop: LoopConfig = LoopConfig(), eval_fn=None):
+    """Single-class training loop: the reference SingleTrainer path
+    (OmniRe models/trainers/single.py:23-211 driven by tools/train.py) —
+    a background-only model whose variant (vanilla / PVG / DeformGS) is
+    selected by cfg.background, with the shared densify controller plus
+    PVG's tau-gradient trigger."""
+    from ..data.batches import BatchSource
+    from ..data.seeding import seed_background
+    from .trainer import (Batch, create_motion, create_train_state,
+                          refine_step, reset_opacity_step, train_step)
+
+    logger = setup_logging(out_dir)
+    cfg = cfg or TrainConfig()
+    key = jax.random.PRNGKey(loop.seed)
+    params, alive, times = seed_background(scene, with_times=True,
+                                           seed=loop.seed)
+    motion = create_motion(key, cfg, params, init_times=times,
+                           aabb=scene.aabb())
+    state = create_train_state(params, alive, motion)
+    scene_scale = scene.camera_extent()
+    logger.info("single[%s]: capacity %d, scale %.1f", cfg.background,
+                params.capacity, scene_scale)
+
+    source = BatchSource(scene, test_stride=loop.test_stride,
+                         seed=loop.seed)
+    metrics_log = MetricLogger(out_dir)
+    tden = max(scene.num_frames - 1, 1)
+
+    for step in range(loop.max_steps):
+        vi, f, c, sbatch = source.next_train("scene")
+        batch = Batch(camera=sbatch.camera, rgb=sbatch.rgb,
+                      depth=sbatch.depth, sky_mask=sbatch.sky_mask,
+                      t=jnp.asarray(f / tden, jnp.float32))
+        state, m = train_step(state, batch, cfg, scene_scale)
+        m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"non-finite loss at step {step}")
+        source.report_error(vi, float(m["rgb"]))
+        metrics_log.update(loss=m["loss"], psnr=m["psnr"])
+
+        if (loop.refine_start <= step < loop.refine_stop
+                and step % loop.refine_interval == 0):
+            key, sub = jax.random.split(key)
+            use_screen = step > loop.reset_opacity_interval
+            state, st = refine_step(sub, state, cfg, scene_scale,
+                                    use_screen_cull=use_screen)
+            logger.info("refine@%d: split %d dup %d culled %d alive %d",
+                        step, int(st["n_split"]), int(st["n_dup"]),
+                        int(st["n_culled"]), int(st["n_alive"]))
+        if (0 < step < loop.refine_stop
+                and step % loop.reset_opacity_interval == 0):
+            state = reset_opacity_step(state)
+        if step % loop.log_interval == 0:
+            logger.info(metrics_log.line(step, loop.max_steps))
+            metrics_log.dump(step)
+        if eval_fn is not None and step > 0 and \
+                step % loop.eval_interval == 0:
+            eval_fn(state, step)
+        if step > 0 and step % loop.ckpt_interval == 0:
+            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                            (state.params, state.alive, state.motion,
+                             state.step))
+
+    save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
+                    (state.params, state.alive, state.motion, state.step))
     return state
 
 
@@ -244,7 +370,7 @@ def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,
 
 def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                        source, metrics_log, key, mesh, logger,
-                       eval_fn=None):
+                       eval_fn=None, start_step=0):
     """Multi-device variant of the training loop, at parity with the
     single-device loop: full loss suite + per-class regs (the step is
     built on the same render_scene/scene_loss_terms), real step counter,
@@ -272,7 +398,7 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
 
     step_fn = None
     step_sig = None
-    for step in range(loop.max_steps):
+    for step in range(start_step, loop.max_steps):
         if (state.params.rigid is not None
                 and step % loop.knn_refresh_interval == 0):
             idx, w = knn_graph(
@@ -335,9 +461,12 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
             eval_fn(state, step)
 
         if step > 0 and step % loop.ckpt_interval == 0:
-            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
-                            (state.params, state.aux, state.step))
+            save_train_checkpoint(
+                os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                state, source, key)
 
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.aux, state.step))
+    save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
+                          state, source, key)
     return state

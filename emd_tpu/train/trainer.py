@@ -4,6 +4,14 @@ tools/train.py:188-292). One fused jitted train step: activate -> SH ->
 rasterize -> losses -> backward -> Adam, with densification stats
 accumulated in-step and the refine/reset passes invoked on their intervals
 (host-orchestrated, but each pass itself is jitted).
+
+The background model is config-selectable like the reference's
+SingleTrainer (single.py:23-211): "vanilla" (static 3DGS), "pvg"
+(Periodic Vibration Gaussians with temporal means/opacities and the
+tau-gradient densify trigger, pvg.py:24-310), or "deformgs" (global
+deformation field, deformgs.py:62-166). The per-gaussian motion extras
+(taus/betas/velocity) ride through densification as refine() extras;
+the DeformGS net is global and untouched by the controller.
 """
 from __future__ import annotations
 
@@ -36,12 +44,24 @@ from .optim import AdamState, adam_init, adam_update, expon_lr
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
+    # background model variant (reference single.py:23-211)
+    background: str = "vanilla"       # vanilla | pvg | deformgs
+    # PVG (pvg.py ctrl defaults): cycle length, t-grad densify trigger
+    pvg_cycle: float = 0.2
+    pvg_betas_init: float = 0.1
+    densify_t_grad_thresh: float = 0.002
+    densify_t_size_thresh: float = 0.01
+    lr_taus: float = 8e-4
+    lr_betas: float = 2e-2
+    lr_velocity: float = 1e-3
+    lr_deform_net: float = 1.6e-3
     # loss weights (reference: omnire.yaml losses block / S3 defaults)
     w_rgb: float = 0.8
     w_ssim: float = 0.2
     w_depth: float = 0.0
     w_sky: float = 0.0
     w_entropy: float = 0.0
+    w_velocity_reg: float = 0.0       # PVG velocity smoothness
     depth_kind: str = "l1"
     depth_inverse: bool = False
     # optimization (3DGS defaults shared by both references)
@@ -72,6 +92,25 @@ class TrainState(NamedTuple):
     opt: AdamState
     dstate: DensifyState
     step: jax.Array
+    # optional background-motion parameters (PvgMotion / DeformGsMotion)
+    # with their own Adam moments; None for the vanilla background
+    motion: Any = None
+    mopt: AdamState | None = None
+
+
+class PvgMotion(NamedTuple):
+    """PVG per-gaussian temporal params (pvg.py:24-88); capacity-padded so
+    they ride through refine() as extras."""
+    taus: jax.Array        # (C,)
+    log_betas: jax.Array   # (C,)
+    velocity: jax.Array    # (C, 3)
+
+
+class DeformGsMotion(NamedTuple):
+    """Global DeformNetwork + contraction AABB (deformgs.py:62-166)."""
+    net: Any
+    aabb_min: jax.Array
+    aabb_max: jax.Array
 
 
 class Batch(NamedTuple):
@@ -81,16 +120,61 @@ class Batch(NamedTuple):
     rgb: jax.Array                    # (H, W, 3)
     depth: jax.Array | None = None    # (H, W) lidar depth (0 = no hit)
     sky_mask: jax.Array | None = None  # (H, W) 1 = sky
+    t: jax.Array | None = None        # () normalized time (PVG/DeformGS)
 
 
-def create_train_state(params: GaussianParams, alive: jax.Array) -> TrainState:
+def create_train_state(params: GaussianParams, alive: jax.Array,
+                       motion: Any = None) -> TrainState:
     return TrainState(
         params=params,
         alive=alive,
         opt=adam_init(params),
         dstate=DensifyState.create(params.capacity),
         step=jnp.zeros((), jnp.int32),
+        motion=motion,
+        mopt=None if motion is None else adam_init(motion),
     )
+
+
+def create_motion(key: jax.Array, cfg: TrainConfig, params: GaussianParams,
+                  init_times: jax.Array | None = None,
+                  aabb: tuple | None = None) -> Any:
+    """Background-motion params for cfg.background (None for vanilla)."""
+    if cfg.background == "vanilla":
+        return None
+    if cfg.background == "pvg":
+        c = params.capacity
+        taus = (jnp.zeros((c,), jnp.float32) if init_times is None
+                else jnp.asarray(init_times, jnp.float32))
+        return PvgMotion(
+            taus=taus,
+            log_betas=jnp.full((c,), float(jnp.log(jnp.sqrt(
+                cfg.pvg_betas_init)))),
+            velocity=jnp.zeros((c, 3), jnp.float32),
+        )
+    if cfg.background == "deformgs":
+        from ..motion.mlp import deform_network_init
+        lo, hi = aabb if aabb is not None else ((-1.0,) * 3, (1.0,) * 3)
+        return DeformGsMotion(
+            net=deform_network_init(key, depth=8, width=256),
+            aabb_min=jnp.asarray(lo, jnp.float32),
+            aabb_max=jnp.asarray(hi, jnp.float32),
+        )
+    raise ValueError(f"unknown background type: {cfg.background}")
+
+
+def motion_lr_tree(cfg: TrainConfig, motion: Any):
+    """Per-leaf LRs for the motion params."""
+    if isinstance(motion, PvgMotion):
+        return PvgMotion(taus=jnp.asarray(cfg.lr_taus),
+                         log_betas=jnp.asarray(cfg.lr_betas),
+                         velocity=jnp.asarray(cfg.lr_velocity))
+    if isinstance(motion, DeformGsMotion):
+        return DeformGsMotion(
+            net=jax.tree.map(lambda _: jnp.asarray(cfg.lr_deform_net),
+                             motion.net),
+            aabb_min=jnp.zeros(()), aabb_max=jnp.zeros(()))
+    return None
 
 
 def lr_tree(cfg: TrainConfig, step: jax.Array,
@@ -109,14 +193,34 @@ def lr_tree(cfg: TrainConfig, step: jax.Array,
 
 def render_params(params: GaussianParams, alive: jax.Array, cam: Camera,
                   sh_mask: jax.Array, cfg: TrainConfig,
-                  means2d_offset: jax.Array | None = None):
+                  means2d_offset: jax.Array | None = None,
+                  motion: Any = None, t: jax.Array | None = None):
     act = activate(params, alive, sh_mask)
-    dirs = act.means - cam.position
+    means, quats, scales, opac = (act.means, act.quats, act.scales,
+                                  act.opacities)
+    if motion is not None and t is not None:
+        if isinstance(motion, PvgMotion):
+            from ..motion.pvg import PvgConfig, PvgParams, pvg_at_time
+            pp = PvgParams(gauss=params._replace(means=means),
+                           taus=motion.taus, log_betas=motion.log_betas,
+                           velocity=motion.velocity)
+            means, ofac = pvg_at_time(
+                pp, t, PvgConfig(cycle_length=cfg.pvg_cycle,
+                                 betas_init=cfg.pvg_betas_init))
+            opac = opac * ofac
+        elif isinstance(motion, DeformGsMotion):
+            from ..motion.deformgs import DeformGsParams, deformgs_at_time
+            dp = DeformGsParams(gauss=params, net=motion.net,
+                                aabb_min=motion.aabb_min,
+                                aabb_max=motion.aabb_max)
+            means, quats, dls = deformgs_at_time(dp, t)
+            scales = scales * jnp.exp(dls)
+    dirs = means - cam.position
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
                               1e-8)
     max_degree = int(round(act.shs.shape[1] ** 0.5)) - 1
     colors = eval_sh(act.shs, dirs, degree=max_degree)
-    return rasterize(act.means, act.quats, act.scales, act.opacities,
+    return rasterize(means, quats, scales, opac,
                      colors, cam, budget=cfg.budget,
                      antialiased=cfg.antialiased,
                      means2d_offset=means2d_offset,
@@ -130,9 +234,10 @@ def train_step(state: TrainState, batch: Batch, cfg: TrainConfig,
     sh_deg = jnp.minimum(state.step // cfg.sh_degree_interval, 3)
     sh_mask = sh_degree_mask(sh_deg, state.params.sh_bases)
 
-    def loss_fn(params, m2d_off):
+    def loss_fn(params, motion, m2d_off):
         out = render_params(params, state.alive, cam, sh_mask, cfg,
-                            means2d_offset=m2d_off)
+                            means2d_offset=m2d_off, motion=motion,
+                            t=batch.t)
         ld = {}
         ld["rgb"] = cfg.w_rgb * losses.l1(out.rgb, batch.rgb)
         ld["ssim"] = cfg.w_ssim * losses.ssim_loss(out.rgb, batch.rgb)
@@ -145,6 +250,12 @@ def train_step(state: TrainState, batch: Batch, cfg: TrainConfig,
                 out.alpha, batch.sky_mask)
         if cfg.w_entropy > 0.0:
             ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
+        if cfg.w_velocity_reg > 0.0 and isinstance(motion, PvgMotion):
+            from ..motion.pvg import PvgParams, velocity_reg
+            ld["velocity"] = cfg.w_velocity_reg * velocity_reg(
+                PvgParams(gauss=params, taus=motion.taus,
+                          log_betas=motion.log_betas,
+                          velocity=motion.velocity), state.alive)
         total = sum(ld.values())
         aux = dict(loss_dict=ld, psnr=losses.psnr(out.rgb, batch.rgb),
                    radii=out.proj.radii,
@@ -153,15 +264,23 @@ def train_step(state: TrainState, batch: Batch, cfg: TrainConfig,
         return total, aux
 
     m2d_zero = jnp.zeros((state.params.capacity, 2), jnp.float32)
-    (total, aux), (gparams, gm2d) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(state.params, m2d_zero)
+    (total, aux), (gparams, gmotion, gm2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(
+        state.params, state.motion, m2d_zero)
 
     lrs = lr_tree(cfg, state.step, scene_scale)
     new_params, new_opt = adam_update(gparams, state.opt, state.params, lrs)
+    new_motion, new_mopt = state.motion, state.mopt
+    if state.motion is not None:
+        new_motion, new_mopt = adam_update(
+            gmotion, state.mopt, state.motion,
+            motion_lr_tree(cfg, state.motion))
+    t_grad = (gmotion.taus if isinstance(state.motion, PvgMotion) else None)
     dstate = accumulate_stats(state.dstate, gm2d, aux["radii"],
-                              cam.width, cam.height)
+                              cam.width, cam.height, t_grad=t_grad)
     new_state = TrainState(params=new_params, alive=state.alive, opt=new_opt,
-                           dstate=dstate, step=state.step + 1)
+                           dstate=dstate, step=state.step + 1,
+                           motion=new_motion, mopt=new_mopt)
     metrics = dict(loss=total, psnr=aux["psnr"],
                    num_instances=aux["num_instances"],
                    overflow=aux["overflow"], **aux["loss_dict"])
@@ -173,10 +292,35 @@ def train_step(state: TrainState, batch: Batch, cfg: TrainConfig,
 def refine_step(key: jax.Array, state: TrainState, cfg: TrainConfig,
                 scene_scale: float, use_screen_cull: bool = False
                 ) -> tuple[TrainState, dict[str, Any]]:
-    out = refine(key, state.params, state.alive, state.opt, state.dstate,
-                 cfg.densify, scene_scale, use_screen_cull)
-    new_state = TrainState(params=out.params, alive=out.alive, opt=out.opt,
-                           dstate=out.dstate, step=state.step)
+    extra_candidate = extra_split = None
+    carrier = state.params
+    if isinstance(state.motion, PvgMotion):
+        # PVG tau-grad trigger + temporal-size split (pvg.py:166-199);
+        # the temporal params ride as refine extras so children inherit
+        carrier = (state.params, state.motion.taus, state.motion.log_betas,
+                   state.motion.velocity)
+        t_avg = state.dstate.t_grad / jnp.maximum(
+            state.dstate.count.astype(jnp.float32), 1.0)
+        high_t = t_avg > cfg.densify_t_grad_thresh
+        extra_candidate = high_t
+        extra_split = high_t & (jnp.exp(state.motion.log_betas)
+                                > cfg.densify_t_size_thresh)
+    out = refine(key, carrier, state.alive, state.opt, state.dstate,
+                 cfg.densify, scene_scale, use_screen_cull,
+                 extra_candidate=extra_candidate, extra_split=extra_split)
+    new_motion, new_mopt = state.motion, state.mopt
+    if isinstance(state.motion, PvgMotion):
+        gauss, taus, log_betas, velocity = out.params
+        new_motion = PvgMotion(taus=taus, log_betas=log_betas,
+                               velocity=velocity)
+        new_mopt = jax.tree.map(jnp.zeros_like, state.mopt)._replace(
+            step=state.mopt.step)
+        new_params = gauss
+    else:
+        new_params = out.params
+    new_state = TrainState(params=new_params, alive=out.alive, opt=out.opt,
+                           dstate=out.dstate, step=state.step,
+                           motion=new_motion, mopt=new_mopt)
     stats = dict(n_split=out.n_split, n_dup=out.n_dup, n_culled=out.n_culled,
                  n_dropped=out.n_dropped,
                  n_alive=jnp.sum(out.alive.astype(jnp.int32)))

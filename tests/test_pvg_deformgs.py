@@ -66,3 +66,87 @@ def test_deformgs():
     grad = jax.grad(lambda pp: jnp.sum(
         deformgs_at_time(pp, jnp.array(0.5))[0] ** 2))(p)
     assert bool(jnp.all(jnp.isfinite(grad.gauss.means)))
+
+
+# ----------------------------------------------------------------------------
+# trainer integration (reference SingleTrainer, single.py:23-211)
+# ----------------------------------------------------------------------------
+
+def _tiny_batch(key, w=40, h=32):
+    from emd_tpu.core import make_camera
+    from emd_tpu.train.trainer import Batch
+    K = jnp.eye(4)
+    cam = make_camera(30.0, 30.0, w / 2, h / 2, K, w, h)
+    rgb = jax.random.uniform(key, (h, w, 3))
+    return Batch(camera=cam, rgb=rgb, t=jnp.asarray(0.4))
+
+
+def _seed_params(n=64, cap=96):
+    from emd_tpu.core.gaussians import params_from_points
+    rng = np.random.RandomState(0)
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(3, 6, n)], 1).astype(np.float32)
+    return params_from_points(pts, rng.uniform(0, 1, (n, 3)), cap,
+                              sh_bases=1)
+
+
+def test_pvg_background_trains_and_densifies():
+    """--background pvg semantics: PVG params receive gradients and move,
+    the tau-grad densify stat accumulates, and refine_step carries the
+    temporal params through split/dup (pvg.py refinement_after)."""
+    import dataclasses as dc
+
+    from emd_tpu.train.trainer import (TrainConfig, create_motion,
+                                       create_train_state, refine_step,
+                                       train_step)
+
+    params, alive = _seed_params()
+    cfg = TrainConfig(background="pvg", budget=1 << 12, interpret=True,
+                      sh_degree_interval=1)
+    motion = create_motion(jax.random.PRNGKey(0), cfg, params,
+                           init_times=jnp.linspace(0, 1, params.capacity))
+    state = create_train_state(params, alive, motion)
+    assert state.mopt is not None
+    batch = _tiny_batch(jax.random.PRNGKey(3))
+    m0 = state.motion
+    for _ in range(3):
+        state, metrics = train_step(state, batch, cfg, scene_scale=1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    # temporal params moved (taus/velocity get gradients through render)
+    assert float(jnp.abs(state.motion.taus - m0.taus).max()) > 0
+    assert float(jnp.abs(state.motion.velocity - m0.velocity).max()) > 0
+    # PVG-specific densify stat accumulated
+    assert float(state.dstate.t_grad.max()) > 0
+
+    # force the tau-grad trigger: huge t_grad, tiny spatial grads
+    state = state._replace(dstate=state.dstate._replace(
+        t_grad=jnp.where(state.alive, 1e3, 0.0),
+        grad_accum=jnp.zeros_like(state.dstate.grad_accum)))
+    cfg2 = dc.replace(cfg, densify_t_grad_thresh=1e-6)
+    state2, st = refine_step(jax.random.PRNGKey(1), state, cfg2, 1.0)
+    assert int(st["n_split"]) + int(st["n_dup"]) > 0
+    # children inherited temporal params (capacity rows stay aligned)
+    assert state2.motion.taus.shape == state.motion.taus.shape
+    assert bool(jnp.all(jnp.isfinite(state2.motion.velocity)))
+
+
+def test_deformgs_background_trains():
+    from emd_tpu.train.trainer import (TrainConfig, create_motion,
+                                       create_train_state, train_step)
+
+    params, alive = _seed_params()
+    cfg = TrainConfig(background="deformgs", budget=1 << 12, interpret=True)
+    motion = create_motion(jax.random.PRNGKey(0), cfg, params,
+                           aabb=((-2, -2, 0), (2, 2, 8)))
+    # small net for test speed
+    from emd_tpu.motion.mlp import deform_network_init
+    motion = motion._replace(net=deform_network_init(
+        jax.random.PRNGKey(1), depth=2, width=16))
+    state = create_train_state(params, alive, motion)
+    batch = _tiny_batch(jax.random.PRNGKey(3))
+    net0 = jax.tree_util.tree_leaves(state.motion.net)[0]
+    for _ in range(2):
+        state, metrics = train_step(state, batch, cfg, scene_scale=1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    net1 = jax.tree_util.tree_leaves(state.motion.net)[0]
+    assert float(jnp.abs(net1 - net0).max()) > 0

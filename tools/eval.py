@@ -51,9 +51,16 @@ def main():
 
     # target structure from a fresh seed at the same capacities
     params0, aux0 = build_scene_params(scene, seed=args.seed)
-    params, aux, step = load_checkpoint(args.ckpt,
-                                        (params0, aux0, jnp.zeros((),
-                                                                  jnp.int32)))
+    import numpy as _np
+    step0 = jnp.zeros((), jnp.int32)
+    if any(k.startswith("['params']") for k in _np.load(args.ckpt).files):
+        # full-state resume checkpoint: load just the eval leaves
+        d = load_checkpoint(args.ckpt, dict(params=params0, aux=aux0,
+                                            step=step0))
+        params, aux, step = d["params"], d["aux"], d["step"]
+    else:
+        params, aux, step = load_checkpoint(args.ckpt,
+                                            (params0, aux0, step0))
     cfg = SceneConfig(budget=args.budget)
     src = BatchSource(scene, test_stride=args.test_stride)
     results = do_evaluation(params, aux, cfg, src, args.out,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from emd_tpu.core import make_camera, random_quats
 from emd_tpu.raster import TILE, bin_gaussians, num_tiles
-from emd_tpu.raster.binning import _segment_fill
+from emd_tpu.raster.binning import _gid_fill
 from emd_tpu.raster.projection import project_gaussians
 from emd_tpu.raster.rasterize import CHUNK
 
@@ -102,21 +102,25 @@ def main():
     dkey = (jax.lax.bitcast_convert_type(
         jnp.maximum(depths, 0.0), jnp.uint32) >> 11).astype(jnp.int32)
 
-    def fill5(s):
-        return _segment_fill(jnp.minimum(s, budget),
-                             (tx0, ty0, jnp.maximum(tx1 - tx0, 1), gsel,
-                              dkey), counts > 0, budget,
-                             widths=(6, 6, 6, 17, 20))
-    chain_time(fill5, starts, name="segment_fill cummax 5 vals (2M)")
+    def fillg(s):
+        return _gid_fill(jnp.minimum(s, budget), counts > 0, n, budget)
+    chain_time(fillg, starts, name="gid cummax fill (2M)")
 
-    def fill_wide(s):
-        geom = tx0 | (ty0 << 7) | (jnp.maximum(tx1 - tx0, 1) << 13)
-        return _segment_fill(jnp.minimum(s, budget),
-                             (geom, gsel, dkey, gsel, gsel),
-                             counts > 0, budget,
-                             widths=(19, 17, 20, 32, 32))
-    chain_time(fill_wide, starts,
-               name="segment_fill cummax 5 vals w/ 2x32b (2M)")
+    # custom expand-VJP backward path: invert (perm, dest) by sort, gather
+    # cotangents into pre-sort order, segment-reduce by cumsum + takes
+    permv = jax.random.permutation(ks[4], budget).astype(jnp.int32)
+    destv = jax.random.permutation(ks[5], budget).astype(jnp.int32)
+    g16 = jax.random.normal(ks[3], (16, budget))
+
+    def expand_bwd(g):
+        _, p = jax.lax.sort((permv, destv), num_keys=1)
+        g_pre = jnp.take(g, p, axis=1)
+        cs = jnp.cumsum(g_pre, axis=1)
+        cs0 = jnp.concatenate([jnp.zeros((16, 1), cs.dtype), cs], axis=1)
+        ends = jnp.minimum(offsets, budget)
+        st = jnp.minimum(starts, budget).astype(jnp.int32)
+        return jnp.take(cs0, ends, axis=1) - jnp.take(cs0, st, axis=1)
+    chain_time(expand_bwd, g16, name="expand custom-VJP bwd (2M)")
 
     keyz = jax.random.randint(ks[4], (budget,), 0, 1 << 30, dtype=jnp.int32
                               ).astype(jnp.uint32)

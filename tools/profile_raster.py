@@ -1,5 +1,12 @@
 """Stage-wise TPU profiling of the rasterizer pipeline: projection,
-binning, gather+pack, composite fwd, composite bwd, and end-to-end."""
+binning, expand, composite fwd, composite fwd+bwd, full fwd, full
+fwd+bwd, at several instance budgets.
+
+Methodology: block_until_ready does not block on this relay backend;
+every timing chains iterations on device (each iteration's input is
+perturbed by a zero derived from the previous output) and pays ONE host
+fetch at the end.
+"""
 import sys
 import time
 
@@ -18,25 +25,33 @@ from emd_tpu.raster import (
     rasterize,
 )
 from emd_tpu.raster.projection import project_gaussians
-from emd_tpu.raster.rasterize import CHUNK
+from emd_tpu.raster.rasterize import CHUNK, expand_instances
 
 
-def bench(f, *args, iters=10, name=""):
-    out = f(*args)
-    jax.block_until_ready(out)
+def chain_time(f, x, iters=10, name=""):
+    def step(x):
+        out = f(x)
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "dtype")]
+        s = sum(jnp.sum(jnp.ravel(l)[:1].astype(jnp.float32))
+                for l in leaves)
+        return x + (s * 0.0).astype(x.dtype)
+
+    g = jax.jit(step)
+    y = g(x)
+    _ = float(jnp.sum(jnp.ravel(y)[:1]))
     t0 = time.time()
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
+        y = g(y)
+    _ = float(jnp.sum(jnp.ravel(y)[:1]))
     dt = (time.time() - t0) / iters * 1e3
-    print(f"{name:30s} {dt:8.2f} ms")
-    return out, dt
+    print(f"{name:44s} {dt:8.2f} ms", flush=True)
+    return dt
 
 
 def main():
     n = 100_000
     width, height = 1024, 768
-    budget = 1 << 21
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 6)
     means = jnp.concatenate([
@@ -51,48 +66,57 @@ def main():
     cam = make_camera(900.0, 900.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
     ntx, nty = num_tiles(width, height, TILE)
+    budget = 1 << 21
 
-    proj_f = jax.jit(lambda m, q, s: project_gaussians(
-        m, q, s, cam.viewmat, cam.K, width, height))
-    proj, t_proj = bench(proj_f, means, quats, scales, name="projection fwd")
+    chain_time(lambda m: project_gaussians(
+        m, quats, scales, cam.viewmat, cam.K, width, height,
+        opacities=opac), means, name="projection fwd")
 
-    bin_f = jax.jit(lambda m2, r, d: bin_gaussians(
-        m2, r, d, width, height, TILE, budget, CHUNK))
-    binning, t_bin = bench(bin_f, proj.means2d, proj.radii, proj.depths,
-                           name="binning (sort)")
+    proj = jax.jit(lambda m: project_gaussians(
+        m, quats, scales, cam.viewmat, cam.K, width, height,
+        opacities=opac))(means)
+    eff = opac * proj.compensation
+
+    binning = jax.jit(lambda m2: bin_gaussians(
+        m2, proj.radii, proj.depths, width, height, TILE, budget, CHUNK,
+        conics=proj.conics, opacities=eff))(proj.means2d)
     print(f"  instances: {int(binning.num_instances)}")
+    for b in (1 << 21, 3 << 19, (11 << 17)):
+        chain_time(lambda m2, b=b: bin_gaussians(
+            m2, proj.radii, proj.depths, width, height, TILE, b, CHUNK,
+            conics=proj.conics, opacities=eff), proj.means2d,
+            name=f"binning tight b={b / (1 << 20):.2f}M")
 
-    def gather(m2, con, col, op, dep, gid):
-        packed = pack_instances(m2, con, col, op, dep)
+    def ex(m2):
+        packed = pack_instances(m2, proj.conics, colors, eff, proj.depths)
         packed = jnp.concatenate(
             [packed, jnp.zeros((16, 1), jnp.float32)], axis=1)
-        return jnp.take(packed, gid, axis=1)
+        return expand_instances(packed, binning)
+    chain_time(ex, proj.means2d, name="pack+expand fwd")
 
-    gat_f = jax.jit(gather)
-    inst, t_gat = bench(gat_f, proj.means2d, proj.conics, colors, opac,
-                        proj.depths, binning.gid, name="pack+gather")
+    inst = jax.jit(ex)(proj.means2d)
+    chain_time(lambda i: composite_tiles(i, binning.tile_offsets, ntx, nty,
+                                         False), inst,
+               name="composite fwd")
+    chain_time(lambda i: jax.grad(lambda j: jnp.sum(composite_tiles(
+        j, binning.tile_offsets, ntx, nty, False)[:, 0:5] ** 2))(i), inst,
+        name="composite fwd+bwd")
 
-    comp_f = jax.jit(lambda i, o: composite_tiles(i, o, ntx, nty, False))
-    tiles, t_fwd = bench(comp_f, inst, binning.tile_offsets,
-                         name="composite fwd")
+    def ex_loss(m2):
+        return jnp.sum(ex(m2) ** 2)
+    chain_time(lambda m2: jax.grad(ex_loss)(m2), proj.means2d,
+               name="pack+expand fwd+bwd (custom VJP)")
 
-    def comp_loss(i, o):
-        t = composite_tiles(i, o, ntx, nty, False)
-        return jnp.sum(t[:, 0:5] ** 2)
-
-    comp_b = jax.jit(jax.grad(comp_loss))
-    _, t_bwd = bench(comp_b, inst, binning.tile_offsets,
-                     name="composite fwd+bwd")
-
-    def full(m, q, s, o, c):
-        out = rasterize(m, q, s, o, c, cam, budget=budget)
-        return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
-
-    full_g = jax.jit(jax.value_and_grad(full))
-    _, t_full = bench(full_g, means, quats, scales, opac, colors,
-                      name="full fwd+bwd")
+    for b in (1 << 21, (11 << 17)):
+        def full_fwd(m, b=b):
+            out = rasterize(m, quats, scales, opac, colors, cam, budget=b)
+            return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
+        chain_time(full_fwd, means, name=f"full fwd b={b / (1 << 20):.2f}M")
+        chain_time(lambda m, b=b: jax.value_and_grad(
+            lambda mm: full_fwd(mm, b))(m)[1], means,
+            name=f"full fwd+bwd b={b / (1 << 20):.2f}M")
     px = width * height
-    print(f"\nfull fwd+bwd: {px / (t_full / 1e3) / 1e6:.1f} Mpix/s")
+    print(f"({px / 1e6:.2f} Mpix frame)")
 
 
 if __name__ == "__main__":

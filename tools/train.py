@@ -25,9 +25,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene_dir", type=str, default=None)
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--flavor", choices=["scene", "s3"], default="scene",
+    ap.add_argument("--flavor", choices=["scene", "s3", "single"],
+                    default="scene",
                     help="scene = OmniRe-style scene graph; s3 = S3Gaussian-"
-                         "style global deformation field")
+                         "style global deformation field; single = "
+                         "background-only SingleTrainer")
+    ap.add_argument("--background", choices=["vanilla", "pvg", "deformgs"],
+                    default="vanilla",
+                    help="single flavor: background model variant "
+                         "(reference single.py:23-211)")
     ap.add_argument("--coarse_iters", type=int, default=None,
                     help="s3 flavor: static warmup steps (default steps//10)")
     ap.add_argument("--out", type=str, required=True)
@@ -43,6 +49,9 @@ def main():
                          " many cameras per step (0 = single device)")
     ap.add_argument("--gauss_parallel", type=int, default=1,
                     help="gaussian-axis shards of the mesh")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="resume scene training from a full-state "
+                         "checkpoint (ckpt_XXXXXX.npz / ckpt_full_final)")
     ap.add_argument("--eval", action="store_true",
                     help="run full evaluation after training")
     ap.add_argument("--seed", type=int, default=0)
@@ -60,7 +69,8 @@ def main():
     from emd_tpu.eval import do_evaluation
     from emd_tpu.scene import SceneConfig
     from emd_tpu.train import (LoopConfig, S3LoopConfig, S3TrainConfig,
-                               SceneTrainConfig, fit_s3, fit_scene)
+                               SceneTrainConfig, fit_s3, fit_scene,
+                               fit_single)
 
     if args.synthetic:
         scene, _ = make_synthetic_scene(n_frames=10, n_cams=2, width=128,
@@ -94,6 +104,28 @@ def main():
         fit_s3(scene, args.out, s3cfg, s3loop)
         return
 
+    if args.flavor == "single":
+        from emd_tpu.train.trainer import TrainConfig
+        if args.config:
+            tcfg = config_from_files(TrainConfig, args.config,
+                                     args.overrides)
+            tcfg = dataclasses.replace(tcfg, max_steps=args.steps,
+                                       background=args.background)
+        else:
+            tcfg = TrainConfig(budget=args.budget, max_steps=args.steps,
+                               background=args.background)
+        sloop = LoopConfig(
+            max_steps=args.steps,
+            test_stride=args.test_stride,
+            refine_start=min(500, args.steps // 4),
+            refine_stop=int(args.steps * 0.5),
+            refine_interval=max(10, min(100, args.steps // 20)),
+            reset_opacity_interval=max(100, args.steps // 10),
+            seed=args.seed,
+        )
+        fit_single(scene, args.out, tcfg, sloop)
+        return
+
     if args.config:
         cfg = config_from_files(SceneTrainConfig, args.config,
                                 args.overrides)
@@ -119,7 +151,8 @@ def main():
         from emd_tpu.dist import make_mesh
         mesh = make_mesh(n_data=args.data_parallel,
                          n_gauss=args.gauss_parallel)
-    state = fit_scene(scene, args.out, cfg, loop, mesh=mesh)
+    state = fit_scene(scene, args.out, cfg, loop, mesh=mesh,
+                      resume=args.resume)
 
     if args.eval:
         src = BatchSource(scene, test_stride=args.test_stride)
