@@ -38,6 +38,11 @@ class InstanceAnn:
     size: np.ndarray                      # (3,)
     poses: np.ndarray                     # (F, 4, 4) obj-to-world
     frame_valid: np.ndarray               # (F,) bool
+    # pedestrians only: per-frame SMPL body pose + shape from
+    # humanpose/smpl.pkl (waymo_sourceloader.py:267-320)
+    smpl_quats: np.ndarray | None = None  # (F, 24, 4) wxyz
+    smpl_betas: np.ndarray | None = None  # (10,)
+    smpl_valid: np.ndarray | None = None  # (F,) bool — frames with a pose
 
 
 @dataclasses.dataclass
@@ -106,10 +111,38 @@ def split_train_test(num_frames: int, test_stride: int = 10
     return train, test
 
 
+# opencv cam (x right, y down, z front) <- dataset frame (x front,
+# y left, z up): the reference's processed dirs store cam-to-ego in the
+# dataset frame and every sourceloader applies this on load
+# (waymo_sourceloader.py:31-82, kitti_sourceloader.py:40-83)
+OPENCV2DATASET = np.array(
+    [[0, 0, 1, 0], [-1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]],
+    np.float32)
+
+
 def load_scene(scene_dir: str, cams: list[int] | None = None,
                start_frame: int = 0, end_frame: int | None = None,
-               downscale: int = 1, load_lidar: bool = True) -> SceneData:
-    """Read a processed scene directory (layout above) into memory."""
+               downscale: int = 1, load_lidar: bool = True,
+               layout: str = "auto") -> SceneData:
+    """Read a processed scene directory (layout above) into memory.
+
+    `layout` selects the on-disk dialect (all share the directory
+    structure; they differ in conventions):
+      - "emd":   this package's write_scene_dir — 4-value intrinsics,
+                 opencv-convention extrinsics, 10/14-wide lidar rows
+                 with explicit ray origins;
+      - "waymo": the reference's processed Waymo — 9-value intrinsics
+                 (fx fy cx cy k1 k2 p1 p2 k3; distortion unused, like
+                 the reference), DATASET-convention extrinsics
+                 (x front / y left / z up; converted via
+                 OPENCV2DATASET), 10/14-wide lidar;
+      - "kitti": the reference's processed KITTI
+                 (kitti_sourceloader.py) — 9-value intrinsics,
+                 dataset-convention extrinsics, 4-wide lidar rows
+                 (x y z intensity) in the ego frame with ray origins at
+                 the sensor;
+      - "auto":  sniff — 4-value intrinsics = emd; otherwise waymo,
+                 or kitti when the lidar rows are 4 wide."""
     import cv2
 
     img_dir = os.path.join(scene_dir, "images")
@@ -143,8 +176,14 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     ]).astype(np.float32) / 255.0
 
     intr = []
+    intr_len = 4
     for c in cams:
-        v = np.loadtxt(os.path.join(scene_dir, "intrinsics", f"{c}.txt"))
+        v = np.atleast_1d(np.loadtxt(
+            os.path.join(scene_dir, "intrinsics", f"{c}.txt")))
+        intr_len = v.size
+        # 9-value files carry k1 k2 p1 p2 k3 — unused, as in the
+        # reference ("did not use distortion parameters",
+        # kitti_sourceloader.py:59-61)
         K = np.array([[v[0], 0, v[2]], [0, v[1], v[3]], [0, 0, 1]],
                      np.float32)
         if downscale > 1:
@@ -152,10 +191,15 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
         intr.append(K)
     intrinsics = np.stack(intr)
 
+    if layout == "auto":
+        layout = "emd" if intr_len <= 4 else "waymo"
+
     cam2ego = np.stack([
         np.loadtxt(os.path.join(scene_dir, "extrinsics",
                                 f"{c}.txt")).reshape(4, 4)
         for c in cams]).astype(np.float32)
+    if layout in ("waymo", "kitti"):
+        cam2ego = cam2ego @ OPENCV2DATASET[None]
     ego_poses = np.stack([
         np.loadtxt(os.path.join(scene_dir, "ego_pose",
                                 f"{f:03d}.txt")).reshape(4, 4)
@@ -183,12 +227,21 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     lidar_dir = os.path.join(scene_dir, "lidar")
     if load_lidar and os.path.isdir(lidar_dir):
         lidar_pts, lidar_org = [], []
+        lidar_w = 4 if layout == "kitti" else None
         for fi, f in enumerate(frames):
             path = os.path.join(lidar_dir, f"{f:03d}.bin")
             raw = np.fromfile(path, dtype=np.float32)
-            width = 14 if raw.size % 14 == 0 else 10
-            raw = raw.reshape(-1, width)
-            org_ego, pts_ego = raw[:, 0:3], raw[:, 3:6]
+            if lidar_w is None:
+                lidar_w = _sniff_lidar_width(raw)
+            if lidar_w == 4:
+                # x y z intensity in the ego/lidar frame, pseudo ray
+                # origins at the sensor (kitti_sourceloader.py:389-420)
+                raw = raw.reshape(-1, 4)
+                pts_ego = raw[:, 0:3]
+                org_ego = np.zeros_like(pts_ego)
+            else:
+                raw = raw.reshape(-1, lidar_w)
+                org_ego, pts_ego = raw[:, 0:3], raw[:, 3:6]
             T = ego_poses[fi]
             pts = pts_ego @ T[:3, :3].T + T[:3, 3]
             org = org_ego @ T[:3, :3].T + T[:3, 3]
@@ -196,12 +249,30 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
             lidar_org.append(org.astype(np.float32))
 
     instances = _load_instances(scene_dir, frames, base_inv)
+    _attach_smpl_poses(scene_dir, frames, cams, instances,
+                       cam_to_worlds.astype(np.float32))
     return SceneData(images=images, intrinsics=intrinsics,
                      cam_to_worlds=cam_to_worlds.astype(np.float32),
                      sky_masks=sky, dynamic_masks=dyn,
                      human_masks=human, vehicle_masks=vehicle,
                      lidar_points=lidar_pts, lidar_origins=lidar_org,
                      instances=instances)
+
+
+def _sniff_lidar_width(raw: np.ndarray) -> int:
+    """Row width of a lidar .bin: 14/10 (ray origin + hit + extras,
+    waymo-style) vs 4 (x y z intensity, kitti-style). Divisibility alone
+    is ambiguous (4N can divide 10), so candidate widths are checked by
+    the origin columns: real ray origins (cols 0:3) sit within meters of
+    each other (the sensor), while misparsed point coordinates spread
+    over the whole scene."""
+    for width in (14, 10):
+        if raw.size % width:
+            continue
+        org = raw.reshape(-1, width)[:, 0:3]
+        if org.shape[0] < 2 or float(np.std(org, axis=0).max()) < 5.0:
+            return width
+    return 4
 
 
 def _load_instances(scene_dir, frames, base_inv):
@@ -230,3 +301,61 @@ def _load_instances(scene_dir, frames, base_inv):
             iid=iid, class_name=v.get("class_name", "vehicle"),
             size=size, poses=poses, frame_valid=valid))
     return out
+
+
+def _attach_smpl_poses(scene_dir, frames, cams, instances, cam_to_worlds):
+    """Parse humanpose/smpl.pkl per-frame body poses into the pedestrian
+    InstanceAnns (waymo_sourceloader.py:267-320): body pose = 24 wxyz
+    quats where joint 0 is the camera-dependent world orientation
+    c2w[:3,:3] @ global_orient and joints 1..23 come from body_pose
+    rotation matrices; betas taken from the first valid frame."""
+    path = os.path.join(scene_dir, "humanpose", "smpl.pkl")
+    if not os.path.exists(path):
+        return
+    import pickle
+
+    import jax.numpy as jnp
+
+    from ..core.quat import rotmat_to_quat
+
+    def to_np(x):
+        return x.numpy() if hasattr(x, "numpy") else np.asarray(x)
+
+    try:
+        with open(path, "rb") as f:
+            smpl_dict = pickle.load(f)
+    except Exception:                     # joblib-compressed variant
+        import joblib
+        smpl_dict = joblib.load(path)
+
+    by_id = {a.iid: a for a in instances}
+    n_frames = len(frames)
+    cam_pos = {c: i for i, c in enumerate(cams)}
+    for iid, ins in smpl_dict.items():
+        ann = by_id.get(str(iid))
+        if ann is None:
+            continue
+        quats = np.zeros((n_frames, 24, 4), np.float32)
+        quats[..., 0] = 1.0
+        sv = np.zeros((n_frames,), bool)
+        betas = None
+        valid_mask = to_np(ins["valid_mask"]).astype(bool)
+        body_pose = to_np(ins["smpl"]["body_pose"]).astype(np.float32)
+        orient = to_np(ins["smpl"]["global_orient"]).astype(np.float32)
+        all_betas = to_np(ins["smpl"]["betas"]).astype(np.float32)
+        sel_cam = to_np(ins["selected_cam_idx"]).astype(np.int64)
+        for li, f in enumerate(frames):
+            if f >= valid_mask.shape[0] or not valid_mask[f]:
+                continue
+            ci = cam_pos.get(int(sel_cam[f]), 0)
+            c2w = cam_to_worlds[li, ci]
+            world_orient = c2w[:3, :3] @ orient[f].reshape(3, 3)
+            mats = np.concatenate([world_orient[None],
+                                   body_pose[f].reshape(-1, 3, 3)], 0)
+            quats[li] = np.asarray(rotmat_to_quat(jnp.asarray(mats)))
+            sv[li] = True
+            if betas is None:
+                betas = all_betas[f].reshape(-1)[:10]
+        ann.smpl_quats = quats
+        ann.smpl_betas = betas
+        ann.smpl_valid = sv

@@ -167,7 +167,104 @@ def seed_instances(scene: SceneData, classes: tuple[str, ...],
     capacity = -(-int(pts.shape[0] * capacity_factor) // 256) * 256
     return dict(points=pts, colors=cols, point_ids=pids, pose_quats=quats,
                 pose_trans=trans, frame_valid=fv, sizes=sizes,
-                capacity=capacity, sh_bases=sh_bases)
+                capacity=capacity, sh_bases=sh_bases, anns=chosen)
+
+
+def _seed_smpl(key, scene: SceneData, sp: dict, rigid_cfg, smpl_template,
+               seed):
+    """Pedestrian class init: canonical gaussians + skeleton per instance.
+
+    With a real SMPL asset (`smpl_template` path): per-instance betas from
+    humanpose/smpl.pkl shape the mesh, gaussians start one-per-vertex with
+    normal-aligned quats / area-derived scales (the reference's on-mesh
+    init, human_body.py:216-295). Without one: procedural skeleton.
+    Per-frame body poses come from the annotations when the dataset
+    provides them (waymo_sourceloader.py:267-320), else identity. The
+    VoxelDeformer LBS-correction volume is instantiated over the canonical
+    body bounds (human_body.py:115-126)."""
+    from ..motion.smpl import (N_JOINTS, SmplConfig, SmplTemplate,
+                               create_smpl, load_smpl_model, on_mesh_init,
+                               procedural_template, shaped_vertices)
+    from ..motion.voxel_deformer import VoxelDeformer
+
+    anns = sp["anns"]
+    n_inst = sp["sizes"].shape[0]
+
+    if smpl_template is not None:
+        model = load_smpl_model(smpl_template)
+        pts_l, q_l, s_l, o_l, w_l, j_l = [], [], [], [], [], []
+        for ann in anns:
+            betas = getattr(ann, "smpl_betas", None)
+            v, joints = shaped_vertices(model, betas)
+            q, ls, op = on_mesh_init(v, model["faces"])
+            pts_l.append(v)
+            q_l.append(q)
+            s_l.append(ls)
+            o_l.append(op)
+            w_l.append(model["weights"])
+            j_l.append(joints)
+        pts = np.concatenate(pts_l)
+        n_per = model["v_template"].shape[0]
+        weights = np.concatenate(w_l)
+        rest_joints = np.stack(j_l)
+    else:
+        base, tpts = procedural_template(key, 512)
+        n_per = tpts.shape[0]
+        pts = np.tile(np.asarray(tpts), (n_inst, 1))
+        weights = np.tile(np.asarray(base.lbs_weights), (n_inst, 1))
+        rest_joints = np.tile(np.asarray(base.rest_joints)[None],
+                              (n_inst, 1, 1))
+
+    total = n_per * n_inst
+    pid_full = np.repeat(np.arange(n_inst, dtype=np.int32), n_per)
+    # slack so the class can densify (round to 256 for mesh sharding)
+    capacity = -(-int(total * 2) // 256) * 256
+    g, smpl_alive = params_from_points(
+        pts, np.full((total, 3), 0.5, np.float32), capacity,
+        sh_bases=4, seed=seed)
+    if smpl_template is not None:
+        # on-mesh orientation/scale/opacity override the generic KNN init
+        quats = np.asarray(g.quats)
+        quats[:total] = np.concatenate(q_l)
+        scales = np.asarray(g.log_scales)
+        scales[:total] = np.concatenate(s_l)
+        opac = np.asarray(g.logit_opacities)
+        opac[:total] = np.concatenate(o_l)
+        g = g._replace(quats=jnp.asarray(quats),
+                       log_scales=jnp.asarray(scales),
+                       logit_opacities=jnp.asarray(opac))
+    pid = np.zeros((capacity,), np.int32)
+    pid[:total] = pid_full
+
+    # data-driven per-frame poses: the reference's root rotation is the
+    # SMPL *world orient* (smpl_quats[:, 0] -> instances_quats,
+    # nodes/smpl.py:90-94), root translation stays the box center, and the
+    # body pose keeps joints 1..23 (joint 0 identity — otherwise the
+    # orientation would apply twice)
+    root_q = np.array(sp["pose_quats"])
+    body = np.zeros((scene.num_frames, n_inst, N_JOINTS, 4), np.float32)
+    body[..., 0] = 1.0
+    for i, ann in enumerate(anns):
+        aq = getattr(ann, "smpl_quats", None)
+        sv = getattr(ann, "smpl_valid", None)
+        if aq is not None:
+            body[:, i] = aq
+            body[:, i, 0] = np.array([1.0, 0, 0, 0], np.float32)
+            if sv is not None:
+                root_q[sv, i] = aq[sv, 0]
+
+    from ..motion.smpl import SMPL_PARENTS
+    tmpl = SmplTemplate(rest_joints=jnp.asarray(rest_joints),
+                        parents=jnp.asarray(SMPL_PARENTS),
+                        lbs_weights=jnp.asarray(weights))
+
+    smpl, smpl_aux = create_smpl(
+        key, g, tmpl, jnp.asarray(pid), root_q, sp["pose_trans"],
+        sp["frame_valid"], sp["sizes"], body, SmplConfig(rigid_cfg))
+    lo = pts.min(0) - 0.1
+    hi = pts.max(0) + 0.1
+    smpl = smpl._replace(voxel=VoxelDeformer.create(lo, hi))
+    return smpl, smpl_aux, smpl_alive
 
 
 def _instance_gauss(seeded, seed=0):
@@ -188,6 +285,7 @@ def build_scene_params(
     rigid_cfg: RigidConfig = RigidConfig(),
     deform_cfg: DeformableConfig = DeformableConfig(),
     with_smpl: bool = True,
+    smpl_template: str | None = None,
     seed: int = 0,
 ) -> tuple[SceneParams, SceneAux]:
     """Full scene-graph initialization from data (MultiTrainer
@@ -220,25 +318,8 @@ def build_scene_params(
         sp = seed_instances(scene, SMPL_CLASSES, only_moving=False,
                             seed=seed)
         if sp is not None:
-            from ..motion.smpl import (N_JOINTS, SmplConfig, create_smpl,
-                                       procedural_template)
-            n_inst = sp["sizes"].shape[0]
-            # canonical gaussians from the procedural template (real SMPL
-            # assets plug in via load_smpl_template)
-            tmpl, tpts = procedural_template(ks[3], 512)
-            n_per = tpts.shape[0]
-            total = n_per * n_inst
-            pts = np.tile(np.asarray(tpts), (n_inst, 1))
-            pid = np.repeat(np.arange(n_inst, dtype=np.int32), n_per)
-            g, smpl_alive = params_from_points(
-                pts, np.full((total, 3), 0.5, np.float32), total,
-                sh_bases=4, seed=seed)
-            body = np.zeros((scene.num_frames, n_inst, N_JOINTS, 4),
-                            np.float32)
-            body[..., 0] = 1.0
-            smpl, smpl_aux = create_smpl(
-                ks[3], g, tmpl, pid, sp["pose_quats"], sp["pose_trans"],
-                sp["frame_valid"], sp["sizes"], body, SmplConfig(rigid_cfg))
+            smpl, smpl_aux, smpl_alive = _seed_smpl(
+                ks[3], scene, sp, rigid_cfg, smpl_template, seed)
 
     n_images = scene.num_frames * scene.num_cams
     params = SceneParams(

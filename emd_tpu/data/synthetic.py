@@ -67,13 +67,26 @@ def make_synthetic_scene(
     ped_poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
     for f in range(n_frames):
         ped_poses[f, :3, 3] = [10.0, -2.0 + 0.4 * f, 0.9]
+    # walking gait: hips swing about x (thighs forward/back along +y walk
+    # direction), shoulders counter-swing — a per-frame SMPL body pose like
+    # the reference's humanpose/smpl.pkl provides
+    ped_quats = np.zeros((n_frames, 24, 4), np.float32)
+    ped_quats[..., 0] = 1.0
+    for f in range(n_frames):
+        sw = 0.4 * np.sin(f * 0.9)
+        for joint, ang in ((1, sw), (2, -sw), (16, -0.5 * sw),
+                           (17, 0.5 * sw)):
+            ped_quats[f, joint] = [np.cos(ang / 2), np.sin(ang / 2), 0, 0]
     instances = [
         InstanceAnn(iid="0", class_name="vehicle", size=veh_size,
                     poses=veh_poses,
                     frame_valid=np.ones(n_frames, bool)),
         InstanceAnn(iid="1", class_name="pedestrian", size=ped_size,
                     poses=ped_poses,
-                    frame_valid=np.ones(n_frames, bool)),
+                    frame_valid=np.ones(n_frames, bool),
+                    smpl_quats=ped_quats,
+                    smpl_betas=np.zeros(10, np.float32),
+                    smpl_valid=np.ones(n_frames, bool)),
     ]
 
     # geometry: ground plane + two walls + instance boxes
@@ -196,14 +209,22 @@ def make_synthetic_scene(
 
 
 def write_scene_dir(scene, out_dir: str, ego_poses=None,
-                    cam2ego=None) -> None:
+                    cam2ego=None, layout: str = "emd") -> None:
     """Write SceneData to disk in the processed layout load_scene reads.
 
     If ego_poses (F,4,4) / cam2ego (C,4,4) are not given, camera 0 is used
     as the ego frame (cam2ego[0] = I). Note load_scene rebases the world to
     the first ego pose, so a reload agrees with this scene up to that fixed
-    rigid transform."""
+    rigid transform.
+
+    `layout="kitti"` emits the reference's processed-KITTI dialect
+    (kitti_sourceloader.py): 9-value intrinsics (zero distortion),
+    DATASET-convention extrinsics (x front / y left / z up), 4-wide
+    lidar rows (x y z intensity) in the ego frame — both a loader-path
+    test fixture and a converter for emd-native scenes."""
     import cv2
+
+    from .scene_data import OPENCV2DATASET
 
     os.makedirs(out_dir, exist_ok=True)
     for sub in ("images", "intrinsics", "extrinsics", "ego_pose",
@@ -219,10 +240,14 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
 
     for c in range(c_):
         K = scene.intrinsics[c]
-        np.savetxt(os.path.join(out_dir, "intrinsics", f"{c}.txt"),
-                   [K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
-        np.savetxt(os.path.join(out_dir, "extrinsics", f"{c}.txt"),
-                   cam2ego[c])
+        vals = [K[0, 0], K[1, 1], K[0, 2], K[1, 2]]
+        if layout == "kitti":
+            vals += [0.0] * 5                    # k1 k2 p1 p2 k3
+        np.savetxt(os.path.join(out_dir, "intrinsics", f"{c}.txt"), vals)
+        c2e = cam2ego[c]
+        if layout == "kitti":
+            c2e = c2e @ np.linalg.inv(OPENCV2DATASET)
+        np.savetxt(os.path.join(out_dir, "extrinsics", f"{c}.txt"), c2e)
     for f in range(f_):
         np.savetxt(os.path.join(out_dir, "ego_pose", f"{f:03d}.txt"),
                    ego_poses[f])
@@ -254,9 +279,13 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
             pts = scene.lidar_points[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             org = scene.lidar_origins[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             n = pts.shape[0]
-            rows = np.zeros((n, 10), np.float32)
-            rows[:, 0:3] = org
-            rows[:, 3:6] = pts
+            if layout == "kitti":
+                rows = np.zeros((n, 4), np.float32)
+                rows[:, 0:3] = pts
+            else:
+                rows = np.zeros((n, 10), np.float32)
+                rows[:, 0:3] = org
+                rows[:, 3:6] = pts
             rows.tofile(os.path.join(out_dir, "lidar", f"{f:03d}.bin"))
 
     info = {}
@@ -280,3 +309,47 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
     with open(os.path.join(out_dir, "instances",
                            "frame_instances.json"), "w") as fh:
         json.dump(frame_instances, fh)
+
+    _write_smpl_pkl(scene, out_dir, ego_poses, cam2ego)
+
+
+def _write_smpl_pkl(scene, out_dir, ego_poses, cam2ego):
+    """Emit humanpose/smpl.pkl in the reference's layout (the dict
+    waymo_sourceloader.py:280-320 parses): per pedestrian, rotation
+    MATRICES for global_orient (camera-frame: the loader re-applies
+    c2w[:3,:3]) and body_pose (23 joints), per-frame betas, valid_mask,
+    selected_cam_idx."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from ..core.quat import quat_to_rotmat
+
+    peds = [a for a in scene.instances if a.smpl_quats is not None]
+    if not peds:
+        return
+    os.makedirs(os.path.join(out_dir, "humanpose"), exist_ok=True)
+    f_ = scene.num_frames
+    # writer picks camera 0 for every frame; invert the loader's
+    # world_orient = c2w[:3,:3] @ global_orient
+    c2w0 = scene.cam_to_worlds[:, 0]
+    smpl_dict = {}
+    for ann in peds:
+        rots = np.asarray(quat_to_rotmat(jnp.asarray(ann.smpl_quats)))
+        orient = np.einsum("fba,fbc->fac", c2w0[:, :3, :3].astype(
+            np.float64), rots[:, 0].astype(np.float64))
+        valid = (ann.smpl_valid if ann.smpl_valid is not None
+                 else ann.frame_valid)
+        betas = np.tile((ann.smpl_betas if ann.smpl_betas is not None
+                         else np.zeros(10, np.float32))[None], (f_, 1))
+        smpl_dict[int(ann.iid)] = dict(
+            valid_mask=np.asarray(valid, bool),
+            selected_cam_idx=np.zeros((f_,), np.int64),
+            smpl=dict(
+                global_orient=orient.astype(np.float32),
+                body_pose=rots[:, 1:].astype(np.float32),
+                betas=betas.astype(np.float32),
+            ),
+        )
+    with open(os.path.join(out_dir, "humanpose", "smpl.pkl"), "wb") as fh:
+        pickle.dump(smpl_dict, fh)

@@ -59,8 +59,11 @@ from .smpl import (
     batch_rigid_transform,
     create_smpl,
     joint_smoothness_reg,
+    load_smpl_model,
     load_smpl_template,
+    on_mesh_init,
     procedural_template,
+    shaped_vertices,
     smpl_world_gaussians,
 )
 from .pvg import (

@@ -20,9 +20,11 @@ The SMPL *template* (rest joints, kinematic parents, skinning weights) is
 pluggable: `load_smpl_template` reads a real SMPL_NEUTRAL npz/pkl when the
 user provides one; `procedural_template` builds a humanoid skeleton with
 bone-distance skinning so the full machinery runs and trains without the
-(license-gated) SMPL asset. The reference's optional VoxelDeformer LBS
-correction (modules.py:459-669) is a quality add-on tracked for a later
-round.
+(license-gated) SMPL asset. Real assets go through `load_smpl_model` +
+`shaped_vertices` (betas blendshapes) + `on_mesh_init` (normal-aligned
+quats, area-derived scales — human_body.py:216-295). The reference's
+optional VoxelDeformer LBS correction (modules.py:459-669) lives in
+voxel_deformer.py and plugs in via `SmplParams.voxel`.
 """
 from __future__ import annotations
 
@@ -47,8 +49,13 @@ SMPL_PARENTS = np.array([
 
 
 class SmplTemplate(NamedTuple):
-    """Rest-pose skeleton + per-gaussian skinning weights."""
-    rest_joints: jax.Array    # (24, 3)
+    """Rest-pose skeleton + per-gaussian skinning weights.
+
+    `rest_joints` is per-instance — betas-shaped bodies have different
+    skeletons (reference J_canonical is per-human, human_body.py:108-110).
+    `lbs_weights` is per-*gaussian* (capacity-length): densified children
+    inherit their parent's row (rides through refine as an extra)."""
+    rest_joints: jax.Array    # (I, 24, 3)
     parents: jax.Array        # (24,) int32
     lbs_weights: jax.Array    # (C, 24) rows sum to 1
 
@@ -124,11 +131,10 @@ def procedural_template(key, n_gauss: int, scale: float = 1.0
     return tmpl, jnp.asarray(pts)
 
 
-def load_smpl_template(path: str, n_gauss: int | None = None
-                       ) -> tuple[SmplTemplate, jax.Array]:
-    """Load a real SMPL model file (npz or pkl with J (24,3)-derivable
-    regressor, weights (6890, 24), v_template). Gaussians = one per vertex
-    (the reference's on-mesh init, human_body.py:216-295)."""
+def load_smpl_model(path: str) -> dict:
+    """Load a real SMPL model file (npz or pkl) into plain numpy arrays:
+    v_template (V, 3), weights (V, 24), J_regressor (24, V),
+    shapedirs (V, 3, B) shape blendshapes, faces (F, 3) int32."""
     import pickle
 
     if path.endswith(".npz"):
@@ -136,18 +142,94 @@ def load_smpl_template(path: str, n_gauss: int | None = None
     else:
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")
-    v_template = np.asarray(data["v_template"], np.float32)
-    weights = np.asarray(data["weights"], np.float32)[:, :N_JOINTS]
     jreg = data["J_regressor"]
     if hasattr(jreg, "toarray"):
         jreg = jreg.toarray()
-    joints = np.asarray(jreg, np.float32)[:N_JOINTS] @ v_template
+    out = dict(
+        v_template=np.asarray(data["v_template"], np.float32),
+        weights=np.asarray(data["weights"], np.float32)[:, :N_JOINTS],
+        J_regressor=np.asarray(jreg, np.float32)[:N_JOINTS],
+        faces=np.asarray(data["f"], np.int64).astype(np.int32)
+        if "f" in data else None,
+    )
+    if "shapedirs" in data:
+        sd = data["shapedirs"]
+        sd = np.asarray(sd.x if hasattr(sd, "x") else sd, np.float32)
+        out["shapedirs"] = sd
+    return out
+
+
+def shaped_vertices(model: dict, betas: np.ndarray | None
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Apply shape blendshapes: v = v_template + shapedirs . betas; rest
+    joints regressed from the shaped vertices (the SMPL shape path the
+    reference gets from smplx, consumed at human_body.py:100-110).
+    Returns (vertices (V, 3), joints (24, 3))."""
+    v = model["v_template"]
+    if betas is not None and model.get("shapedirs") is not None:
+        sd = model["shapedirs"]
+        nb = min(sd.shape[-1], betas.shape[-1])
+        v = v + np.einsum("vdk,k->vd", sd[..., :nb],
+                          np.asarray(betas, np.float32)[:nb])
+    joints = model["J_regressor"] @ v
+    return v.astype(np.float32), joints.astype(np.float32)
+
+
+def on_mesh_init(vertices: np.ndarray, faces: np.ndarray,
+                 opacity_logit: float = 0.9,
+                 thickness_factor: float = 0.5,
+                 min_scale: float = 1e-4, max_scale: float = 0.1):
+    """Mesh-derived per-vertex gaussian init (re-derivation of
+    human_body.py init_qso_on_mesh:216-295): orientation = local frame
+    with z along the vertex normal, scale = (r, r, 0.5 r) with
+    r = sqrt(vertex_area_share / pi), base opacity logit.
+    Returns (quats (V, 4) wxyz, log_scales (V, 3), opacity_logits (V,))."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    fn = np.cross(e1, e2)                       # face normal * 2*area
+    area = 0.5 * np.linalg.norm(fn, axis=-1)
+
+    vn = np.zeros_like(v)
+    va = np.zeros(v.shape[0])
+    for k in range(3):
+        np.add.at(vn, f[:, k], fn)
+        np.add.at(va, f[:, k], area / 3.0)
+    vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+    # orthonormal frame with z = normal (columns are basis vectors)
+    rng = np.random.RandomState(0)
+    rnd = rng.randn(*vn.shape)
+    ux = np.cross(vn, rnd)
+    ux /= np.maximum(np.linalg.norm(ux, axis=-1, keepdims=True), 1e-12)
+    uy = np.cross(vn, ux)
+    frame = np.stack([ux, uy, vn], axis=-1)     # (V, 3, 3)
+    from ..core.quat import rotmat_to_quat
+    quats = np.asarray(rotmat_to_quat(jnp.asarray(frame, jnp.float32)))
+
+    radius = np.sqrt(np.maximum(va, 0.0) / np.pi)
+    radius = np.clip(radius, min_scale, max_scale)
+    thick = np.clip(radius * thickness_factor, min_scale, max_scale)
+    log_scales = np.log(np.stack([radius, radius, thick],
+                                 axis=-1)).astype(np.float32)
+    opac = np.full((v.shape[0],), opacity_logit, np.float32)
+    return quats.astype(np.float32), log_scales, opac
+
+
+def load_smpl_template(path: str, betas: np.ndarray | None = None
+                       ) -> tuple[SmplTemplate, jax.Array]:
+    """Single-instance template from a real SMPL file (betas-shaped).
+    Gaussians = one per vertex (human_body.py on-mesh init)."""
+    model = load_smpl_model(path)
+    v, joints = shaped_vertices(model, betas)
+    weights = model["weights"]
     tmpl = SmplTemplate(
         rest_joints=jnp.asarray(joints),
         parents=jnp.asarray(SMPL_PARENTS),
         lbs_weights=jnp.asarray(weights / weights.sum(1, keepdims=True)),
     )
-    return tmpl, jnp.asarray(v_template)
+    return tmpl, jnp.asarray(v)
 
 
 def batch_rigid_transform(joint_quats: jax.Array, rest_joints: jax.Array,
@@ -181,22 +263,6 @@ def batch_rigid_transform(joint_quats: jax.Array, rest_joints: jax.Array,
     return R, t
 
 
-def lbs_apply(means: jax.Array, quats: jax.Array, weights: jax.Array,
-              joint_R: jax.Array, joint_t: jax.Array):
-    """Blend per-joint transforms: T_i = sum_j w_ij [R_j | t_j]; apply to
-    canonical means and rotations (smpl.py transform_means_and_quats)."""
-    R_blend = jnp.einsum("cj,jab->cab", weights, joint_R)   # (C, 3, 3)
-    t_blend = jnp.einsum("cj,ja->ca", weights, joint_t)     # (C, 3)
-    new_means = jnp.einsum("cab,cb->ca", R_blend, means) + t_blend
-    # blended rotation applied to gaussian orientation: use the blended
-    # matrix's rotation part via quaternion of the dominant joint blend.
-    # (The reference converts the blended T's rotation with rotmat->quat.)
-    from ..core.quat import rotmat_to_quat
-    q_blend = rotmat_to_quat(R_blend)
-    new_quats = quat_multiply(q_blend, quat_normalize(quats))
-    return new_means, new_quats
-
-
 class SmplConfig(NamedTuple):
     rigid: RigidConfig = RigidConfig()
 
@@ -210,6 +276,20 @@ def create_smpl(key, gauss: GaussianParams, template: SmplTemplate,
     rigid, rigid_aux = create_rigid(key, gauss, point_ids, root_quats,
                                     root_trans, instances_fv, instances_size,
                                     cfg.rigid)
+    # normalize the template to per-instance joints + capacity-sized
+    # weights (a single-template (24,3)/(V,24) input is broadcast/padded;
+    # padding rows skin rigidly to the pelvis)
+    n_inst = np.asarray(instances_size).shape[0]
+    rj = template.rest_joints
+    if rj.ndim == 2:
+        rj = jnp.tile(rj[None], (n_inst, 1, 1))
+    w = template.lbs_weights
+    cap = gauss.capacity
+    if w.shape[0] < cap:
+        pad = jnp.zeros((cap - w.shape[0], N_JOINTS),
+                        w.dtype).at[:, 0].set(1.0)
+        w = jnp.concatenate([w, pad], axis=0)
+    template = template._replace(rest_joints=rj, lbs_weights=w[:cap])
     d_in = (cfg.rigid.gaussian_embedding_dim
             + cfg.rigid.temporal_embedding_dim)
     heads = EmdHeads.create(d_in)
@@ -263,11 +343,11 @@ def smpl_world_gaussians(params: SmplParams, aux: SmplAux, alive,
     joint_off = _smpl_joint_offsets(params, aux, alive, t_norm, step, cfg)
     body = quat_multiply(body, joint_off)
 
-    def per_instance(joint_quats):
-        return batch_rigid_transform(joint_quats, aux.template.rest_joints,
+    def per_instance(joint_quats, rest_joints):
+        return batch_rigid_transform(joint_quats, rest_joints,
                                      aux.template.parents)
 
-    jR, jt = jax.vmap(per_instance)(body)                    # (I,24,3,3/3)
+    jR, jt = jax.vmap(per_instance)(body, aux.template.rest_joints)
 
     w = aux.template.lbs_weights                              # (C, 24)
     if params.voxel is not None:
@@ -317,9 +397,11 @@ def x_offset_reg(params: SmplParams, aux: SmplAux, alive) -> jax.Array:
     """Penalize canonical gaussians drifting off the template skeleton
     (smpl.py:702-709): squared distance beyond a small free radius to the
     nearest rest joint."""
-    d = jnp.linalg.norm(
-        params.rigid.gauss.means[:, None, :]
-        - aux.template.rest_joints[None], axis=-1)
+    joints = aux.template.rest_joints[aux.rigid.point_ids]  # (C, 24, 3)
+    diff = params.rigid.gauss.means[:, None, :] - joints
+    # safe sqrt: dead capacity slots sit exactly on a joint (zero means),
+    # where norm's gradient is 0/0
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
     dmin = jnp.min(d, axis=1)
     pen = jnp.maximum(dmin - 0.3, 0.0) ** 2
     w = alive.astype(jnp.float32)

@@ -59,7 +59,11 @@ def corrected_weights(vd: VoxelDeformer, means_canonical: jax.Array,
     """Template LBS weights (C, 24) + sampled voxel correction ->
     re-normalized weights (the reference adds logits to the template
     weights and re-normalizes)."""
-    pts01 = (means_canonical - vd.lo) / jnp.maximum(vd.hi - vd.lo, 1e-6)
+    # lo/hi are geometry, not parameters: block their gradient so the
+    # optimizer (which walks the whole params pytree) never moves them
+    lo = jax.lax.stop_gradient(vd.lo)
+    hi = jax.lax.stop_gradient(vd.hi)
+    pts01 = (means_canonical - lo) / jnp.maximum(hi - lo, 1e-6)
     delta = _trilinear(vd.grid, pts01)
     w = jax.nn.relu(base_weights + blend * delta)
     return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)

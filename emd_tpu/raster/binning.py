@@ -38,11 +38,11 @@ ZERO budget-sized scatters in either direction:
      -> pre slot -> gaussian) map.
 
 Gradients never flow through the index math, but the binning result
-carries the index arrays (`perm`, `dest`, `seg_starts/ends`) that let the
+carries per-gaussian segment bounds (`seg_starts/ends`) that let the
 instance-expansion custom VJP in rasterize.py reduce per-instance
-gradients to per-gaussian gradients with a sort + gather + cumsum
-(replacing XLA's 36 ms take-VJP scatter-add with ~15 ms of sort-adjacent
-ops — see `expand_instances`).
+gradients to per-gaussian gradients with one gid-keyed payload sort +
+batched cumsum (replacing XLA's 36 ms take-VJP scatter-add — see
+`expand_instances`).
 """
 from __future__ import annotations
 
@@ -68,22 +68,17 @@ class Binning(NamedTuple):
                   and the caller should re-trace with a larger budget.
     overflow:     () bool.
 
-    Residual index maps for the instance-expansion custom VJP
-    (all stop-gradient int32; see rasterize.expand_instances):
-    gid_sorted:   (M,) — gaussian id per sorted slot (n for invalid).
-    dest:         (M,) — final padded slot of each sorted slot (dump
-                  chunk for invalid slots); NEAR-MONOTONE, so gathers
-                  through it are cache-local.
-    seg_starts:   (N,) — each gaussian's first pre-sort instance slot
-                  (clipped to M).
-    seg_ends:     (N,) — one past its last pre-sort slot (clipped to M).
+    Residuals for the instance-expansion custom VJP (stop-gradient
+    int32; see rasterize.expand_instances — instances of gaussian i,
+    sorted by gid, occupy [seg_starts[i], seg_ends[i])):
+    seg_starts:   (N,) — each gaussian's first instance slot (clipped
+                  to M).
+    seg_ends:     (N,) — one past its last instance slot (clipped to M).
     """
     gid: jax.Array
     tile_offsets: jax.Array
     num_instances: jax.Array
     overflow: jax.Array
-    gid_sorted: jax.Array
-    dest: jax.Array
     seg_starts: jax.Array
     seg_ends: jax.Array
 
@@ -297,15 +292,8 @@ def bin_gaussians(
     m_pad = budget + n_tiles * (chunk - 1) + chunk
     n_chunks = m_pad // chunk
 
-    # sorted slot j lands at padded slot j + shift[tile]; invalid slots
-    # (beyond the instance total) land in the trailing dump chunk, which
-    # no tile segment reaches and the compositor never reads
     shift_tbl = jnp.append(tile_offsets[:n_tiles] - starts_t[:n_tiles],
                            0)                           # (T+1,)
-    dest = jnp.where(
-        tile_s < n_tiles,
-        jnp.arange(budget, dtype=jnp.int32) + jnp.take(shift_tbl, tile_s),
-        m_pad - chunk)
 
     # ---- padded layout by BROADCAST over (n_chunks, chunk): per-chunk
     # owning tile -> per-chunk source base + valid end, no m_pad scatters
@@ -333,8 +321,6 @@ def bin_gaussians(
         tile_offsets=tile_offsets,
         num_instances=total,
         overflow=overflow,
-        gid_sorted=gid_sorted,
-        dest=dest,
         seg_starts=starts_c,
         seg_ends=ends_c,
     )

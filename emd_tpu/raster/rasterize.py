@@ -40,17 +40,17 @@ def expand_instances(packed: jax.Array, binning: Binning) -> jax.Array:
 
     XLA's VJP for this gather is a (F, M_pad) -> (F, N) scatter-add,
     measured ~36 ms at 2M instances on a v5e chip. The custom backward
-    instead (a) pulls the padded cotangents back to sorted order through
-    the carried near-monotone `dest` map (cache-local gather, unlike a
-    random-permutation gather which measures ~50 ms at this size),
-    (b) regroups them per gaussian with ONE `jax.lax.sort` keyed by the
-    owning gid carrying the F cotangent rows as payload (~16 ms) — the
-    sort is stable and gids ascend, so gaussian i's run lands exactly at
-    [seg_starts[i], seg_ends[i]) — and (c) segment-reduces with one
-    batched cumsum (~6 ms) + two N-column gathers. Total ~30 ms and
-    exact: every padded slot maps to at most one sorted slot; padding /
-    dump slots map to none (their cotangents belong to the dummy
-    gaussian, which the old scatter-add also discarded)."""
+    instead regroups the padded cotangents per gaussian with ONE
+    `jax.lax.sort` keyed directly by the padded gid array, carrying the F
+    cotangent rows as payload (~16 ms at 2M): the sort key is exactly
+    binning.gid, dummy/padding slots carry gid == N and sink to the end,
+    and because every real gaussian's instances are a contiguous gid run,
+    gaussian i's cotangents land exactly at [seg_starts[i], seg_ends[i]).
+    A batched cumsum (~6 ms) + two N-column boundary gathers finish the
+    segment reduction. No budget-sized gather or scatter anywhere —
+    column gathers from a >100 MB (F, M) table measure 50-100 ms on this
+    chip (strided columns), which sank two earlier formulations of this
+    backward (inverse-permutation gather and dest-map gather)."""
     return jnp.take(packed, binning.gid, axis=1)
 
 
@@ -60,10 +60,8 @@ def _expand_fwd(packed, binning):
 
 def _expand_bwd(res, g):
     shape, binning = res
-    g_sorted = jnp.take(g, binning.dest, axis=1)      # (F, M) near-monotone
-    srt = jax.lax.sort((binning.gid_sorted,) + tuple(g_sorted),
-                       num_keys=1)
-    g_grp = jnp.stack(srt[1:])                        # (F, M) gid-major
+    srt = jax.lax.sort((binning.gid,) + tuple(g), num_keys=1)
+    g_grp = jnp.stack(srt[1:])                        # (F, M_pad) gid-major
     cs = jnp.cumsum(g_grp, axis=1)
     cs0 = jnp.concatenate([jnp.zeros((g.shape[0], 1), cs.dtype), cs],
                           axis=1)

@@ -52,6 +52,21 @@ class LoopConfig:
     seed: int = 0
 
 
+def _refresh_knn(state):
+    """Rebuild cached KNN graphs for every class that uses one (rigid
+    embedding reg, SMPL knn-consistency + embedding regs)."""
+    knn = {}
+    if state.params.rigid is not None:
+        idx, w = knn_graph(np.asarray(state.params.rigid.gauss.means),
+                           np.asarray(state.aux.rigid_alive), k=8)
+        knn["rigid"] = (jnp.asarray(idx), jnp.asarray(w))
+    if state.params.smpl is not None:
+        idx, w = knn_graph(np.asarray(state.params.smpl.rigid.gauss.means),
+                           np.asarray(state.aux.smpl_alive), k=8)
+        knn["smpl"] = (jnp.asarray(idx), jnp.asarray(w))
+    return state._replace(knn=knn or None)
+
+
 def fit_scene(
     scene,
     out_dir: str,
@@ -97,9 +112,13 @@ def fit_scene(
     metrics_log = MetricLogger(out_dir)
     key = jax.random.PRNGKey(loop.seed)
     start_step = 0
+    resume_extras = {}
     if resume is not None:
-        state, key, start_step = restore_train_checkpoint(
+        state, key, start_step, resume_extras = restore_train_checkpoint(
             resume, state, source, key)
+        if resume_extras.get("budget"):
+            cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+                cfg.scene, budget=resume_extras["budget"]))
         logger.info("resumed from %s at step %d", resume, start_step)
 
     if mesh is not None:
@@ -108,6 +127,7 @@ def fit_scene(
                                   mesh, logger, eval_fn=eval_fn,
                                   start_step=start_step)
 
+    overflow_streak = resume_extras.get("overflow_streak", 0)
     for step in range(start_step, loop.max_steps):
         if loop.downscale_times > 0:
             level = max(0, loop.downscale_times - step // loop.double_steps)
@@ -115,13 +135,10 @@ def fit_scene(
 
         # KNN refresh BEFORE the step: the first refresh changes the state
         # pytree (None -> arrays), so doing it up-front avoids a retrace.
-        if (state.params.rigid is not None
+        if ((state.params.rigid is not None
+             or state.params.smpl is not None)
                 and step % loop.knn_refresh_interval == 0):
-            idx, w = knn_graph(
-                np.asarray(state.params.rigid.gauss.means),
-                np.asarray(state.aux.rigid_alive), k=8)
-            state = state._replace(knn={"rigid": (jnp.asarray(idx),
-                                                  jnp.asarray(w))})
+            state = _refresh_knn(state)
 
         vi, f, c, batch = source.next_train("scene")
         state, m = scene_train_step(state, batch, cfg, scene_scale)
@@ -136,16 +153,33 @@ def fit_scene(
         source.report_error(vi, float(m["rgb"]))
         metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
         if bool(m["overflow"]):
-            logger.warning("step %d: instance budget overflow "
-                           "(raise SceneConfig.budget)", step)
+            overflow_streak += 1
+            logger.warning("step %d: instance budget overflow (%d/3)",
+                           step, overflow_streak)
+            if overflow_streak >= 3:
+                # persistent overflow silently drops instances — regrow
+                # the budget host-side (a static cfg change = one retrace)
+                new_budget = -(-int(cfg.scene.budget * 3 / 2) // 65536) \
+                    * 65536
+                cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+                    cfg.scene, budget=new_budget))
+                overflow_streak = 0
+                logger.warning("step %d: budget regrown to %d (retrace)",
+                               step, new_budget)
+        else:
+            overflow_streak = 0
 
         if (loop.refine_start <= step < loop.refine_stop
                 and step % loop.refine_interval == 0):
+            # screen-size culling arms after the first opacity reset
+            # (vanilla.py:304-331 refine_scale2d_stop_at semantics)
+            use_screen = step > loop.reset_opacity_interval
             key, sub = jax.random.split(key)
             out = refine(sub, state.params.background, state.aux.bg_alive,
                          _opt_background(state),
                          state.dstate["background"],
-                         _densify_cfg(), scene_scale)
+                         _densify_cfg(), scene_scale,
+                         use_screen_cull=use_screen)
             state = _apply_background_refine(state, out)
             logger.info(
                 "refine@%d[bg]: split %d dup %d culled %d alive %d drop %d",
@@ -153,7 +187,16 @@ def fit_scene(
                 int(jnp.sum(out.alive)), int(out.n_dropped))
             if state.params.rigid is not None:
                 key, sub = jax.random.split(key)
-                state = _refine_rigid(state, sub, scene_scale, logger, step)
+                state = _refine_rigid(state, sub, scene_scale, logger, step,
+                                      use_screen=use_screen)
+            if state.params.deformable is not None:
+                key, sub = jax.random.split(key)
+                state = _refine_node(state, sub, "deformable", logger, step,
+                                     use_screen=use_screen)
+            if state.params.smpl is not None:
+                key, sub = jax.random.split(key)
+                state = _refine_node(state, sub, "smpl", logger, step,
+                                     use_screen=use_screen)
 
         if (0 < step < loop.refine_stop
                 and step % loop.reset_opacity_interval == 0):
@@ -173,48 +216,54 @@ def fit_scene(
         if step > 0 and step % loop.ckpt_interval == 0:
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
-                state._replace(step=jnp.asarray(step + 1)), source, key)
+                state._replace(step=jnp.asarray(step + 1)), source, key,
+                budget=cfg.scene.budget, overflow_streak=overflow_streak)
 
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.aux, state.step))
     save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
-                          state, source, key)
+                          state, source, key, budget=cfg.scene.budget,
+                          overflow_streak=overflow_streak)
     logger.info("done: %s", metrics_log.line(loop.max_steps,
                                              loop.max_steps))
     return state
 
 
-def _full_ckpt_tree(state, source, key):
+def _full_ckpt_tree(state, source, key, budget=0, overflow_streak=0):
     """Complete resumable train state: params + optimizer moments +
     densify stats + sampler scores/RNG + loop RNG key (the reference's
     S3 capture() tuple incl. optimizer state, gaussian_model.py:74-118,
-    plus OmniRe's cached error buffer, train.py:306-334)."""
+    plus OmniRe's cached error buffer, train.py:306-334) + the loop's
+    current instance budget / overflow streak (the budget auto-regrows
+    host-side, so it is loop state too)."""
     tree = dict(params=state.params, aux=state.aux, opt=state.opt,
                 dstate=state.dstate, step=state.step, key=key,
-                sampler=source.sampler.snapshot())
+                sampler=source.sampler.snapshot(),
+                budget=np.int64(budget),
+                overflow_streak=np.int64(overflow_streak))
     if state.knn is not None:
         tree["knn"] = state.knn
     return tree
 
 
-def save_train_checkpoint(path, state, source, key):
-    save_checkpoint(path, _full_ckpt_tree(state, source, key))
+def save_train_checkpoint(path, state, source, key, budget=0,
+                          overflow_streak=0):
+    save_checkpoint(path, _full_ckpt_tree(state, source, key, budget,
+                                          overflow_streak))
 
 
 def restore_train_checkpoint(path, state, source, key):
     """Restore a full-state checkpoint into a freshly-seeded state of the
-    same structure. Returns (state, key, start_step) such that continuing
-    the loop from start_step is bit-identical to never having stopped
-    (tests/test_resume.py)."""
+    same structure. Returns (state, key, start_step, extras) such that
+    continuing the loop from start_step is bit-identical to never having
+    stopped (tests/test_resume.py); extras carries the saved instance
+    budget / overflow streak (0 budget = keep the configured one)."""
     from ..utils.checkpoint import load_checkpoint
 
     data = np.load(path)
     has_knn = any("knn" in k for k in data.files)
-    if has_knn and state.knn is None and state.params.rigid is not None:
-        idx, w = knn_graph(np.asarray(state.params.rigid.gauss.means),
-                           np.asarray(state.aux.rigid_alive), k=8)
-        state = state._replace(knn={"rigid": (jnp.asarray(idx),
-                                              jnp.asarray(w))})
+    if has_knn and state.knn is None:
+        state = _refresh_knn(state)
     template = _full_ckpt_tree(state, source, key)
     restored = load_checkpoint(path, template)
     source.sampler.restore(restored["sampler"])
@@ -223,7 +272,10 @@ def restore_train_checkpoint(path, state, source, key):
         opt=restored["opt"], dstate=restored["dstate"],
         step=jnp.asarray(restored["step"]),
         knn=restored.get("knn", state.knn))
-    return state, jnp.asarray(restored["key"]), int(restored["step"])
+    extras = dict(budget=int(restored.get("budget", 0)),
+                  overflow_streak=int(restored.get("overflow_streak", 0)))
+    return state, jnp.asarray(restored["key"]), int(restored["step"]), \
+        extras
 
 
 def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
@@ -300,7 +352,8 @@ def _densify_cfg():
     return DensifyConfig()
 
 
-def _refine_rigid(state, key, scene_scale, logger, step):
+def _refine_rigid(state, key, scene_scale, logger, step,
+                  use_screen=False):
     """Densify the rigid class: gaussians + embeddings + point ids move
     together (children inherit the parent's instance and embedding —
     rigid.py refinement_after:278-383), then out-of-box culling
@@ -320,7 +373,8 @@ def _refine_rigid(state, key, scene_scale, logger, step):
             zeros_pid),
         step=state.opt.step)
     out = refine(key, combined, state.aux.rigid_alive, opt_c,
-                 state.dstate["rigid"], _densify_cfg(), 1.0)
+                 state.dstate["rigid"], _densify_cfg(), 1.0,
+                 use_screen_cull=use_screen)
     gauss, emb, new_pid = out.params
     new_aux = state.aux._replace(
         rigid_aux=state.aux.rigid_aux._replace(point_ids=new_pid))
@@ -343,6 +397,79 @@ def _refine_rigid(state, key, scene_scale, logger, step):
         params=new_params,
         aux=new_aux._replace(rigid_alive=new_alive),
         opt=new_opt, dstate=dstate)
+
+
+def _refine_node(state, key, name, logger, step, use_screen=False):
+    """Densify the deformable or SMPL class (reference: both inherit
+    RigidNodes.refinement_after, rigid.py:278-383 — gaussians, embeddings
+    and point ids move together; children inherit their parent's
+    instance), then out-of-box culling of canonical gaussians."""
+    from ..motion.rigid import out_of_bound_mask
+    from .densify import refine
+    from .optim import AdamState
+
+    if name == "deformable":
+        node, mu_n, nu_n = (state.params.deformable,
+                            state.opt.mu.deformable, state.opt.nu.deformable)
+        raux, alive = state.aux.deform_aux, state.aux.deform_alive
+    else:
+        node, mu_n, nu_n = (state.params.smpl, state.opt.mu.smpl,
+                            state.opt.nu.smpl)
+        raux, alive = state.aux.smpl_aux.rigid, state.aux.smpl_alive
+    rp = node.rigid
+    pid = raux.point_ids
+    combined = [rp.gauss, rp.embeddings, pid]
+    zeros_pid = jnp.zeros_like(pid)
+    mu_c = [mu_n.rigid.gauss, mu_n.rigid.embeddings, zeros_pid]
+    nu_c = [nu_n.rigid.gauss, nu_n.rigid.embeddings, zeros_pid]
+    if name == "smpl":
+        # per-gaussian LBS weights ride along: children inherit their
+        # parent's skinning row (human_body.py keeps W per-gaussian)
+        lbs_w = state.aux.smpl_aux.template.lbs_weights
+        combined.append(lbs_w)
+        mu_c.append(jnp.zeros_like(lbs_w))
+        nu_c.append(jnp.zeros_like(lbs_w))
+    opt_c = AdamState(mu=tuple(mu_c), nu=tuple(nu_c), step=state.opt.step)
+    out = refine(key, tuple(combined), alive, opt_c, state.dstate[name],
+                 _densify_cfg(), 1.0, use_screen_cull=use_screen)
+    gauss, emb, new_pid = out.params[:3]
+    new_rp = rp._replace(gauss=gauss, embeddings=emb)
+    new_raux = raux._replace(point_ids=new_pid)
+    oob = out_of_bound_mask(new_rp, new_raux)
+    new_alive = out.alive & ~oob
+
+    mu_new = mu_n._replace(rigid=mu_n.rigid._replace(
+        gauss=out.opt.mu[0], embeddings=out.opt.mu[1]))
+    nu_new = nu_n._replace(rigid=nu_n.rigid._replace(
+        gauss=out.opt.nu[0], embeddings=out.opt.nu[1]))
+    dstate = dict(state.dstate)
+    dstate[name] = out.dstate
+    logger.info(
+        "refine@%d[%s]: split %d dup %d culled %d oob %d alive %d",
+        step, name, int(out.n_split), int(out.n_dup), int(out.n_culled),
+        int(jnp.sum(oob & out.alive)), int(jnp.sum(new_alive)))
+    if name == "deformable":
+        new_params = state.params._replace(
+            deformable=state.params.deformable._replace(rigid=new_rp))
+        new_aux = state.aux._replace(deform_aux=new_raux,
+                                     deform_alive=new_alive)
+        new_opt = state.opt._replace(
+            mu=state.opt.mu._replace(deformable=mu_new),
+            nu=state.opt.nu._replace(deformable=nu_new))
+    else:
+        new_params = state.params._replace(
+            smpl=state.params.smpl._replace(rigid=new_rp))
+        new_tmpl = state.aux.smpl_aux.template._replace(
+            lbs_weights=out.params[3])
+        new_aux = state.aux._replace(
+            smpl_aux=state.aux.smpl_aux._replace(rigid=new_raux,
+                                                 template=new_tmpl),
+            smpl_alive=new_alive)
+        new_opt = state.opt._replace(
+            mu=state.opt.mu._replace(smpl=mu_new),
+            nu=state.opt.nu._replace(smpl=nu_new))
+    return state._replace(params=new_params, aux=new_aux, opt=new_opt,
+                          dstate=dstate)
 
 
 def _opt_background(state: SceneTrainState):

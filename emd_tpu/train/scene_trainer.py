@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..core.camera import Camera
 from ..motion.deformable import DeformableParams, out_of_bound_loss
-from ..motion.embedding_reg import embedding_knn_loss
+from ..motion.embedding_reg import embedding_knn_loss, \
+    scale_percentile_reg
 from ..motion.rigid import RigidParams, temporal_smoothness_reg
 from ..core.gaussians import GaussianParams
 from ..scene.scene_graph import (
@@ -50,6 +51,12 @@ class SceneTrainConfig:
     w_rigid_temporal: float = 0.1
     w_embedding_knn: float = 1.0
     w_deform_oob: float = 1.0
+    # SMPL regs (omnire.yaml smpl ctrl block :234-257)
+    w_smpl_joint_smooth: float = 0.01   # joint_smooth w (commented default)
+    w_smpl_knn: float = 0.001           # knn_reg lambda_std_{q,s,o,shs}
+    w_smpl_x_offset: float = 0.2        # x_offset w
+    w_smpl_voxel: float = 0.6           # voxel_deformer_reg lambda_std_w
+    w_smpl_scale: float = 0.05          # max_s_square_reg w
     # group LRs (omnire.yaml:42-56 + :124-152, :201-218)
     lr_means: float = 1.6e-4           # * scene_scale, expon -> 1%
     lr_scales: float = 5e-3
@@ -161,6 +168,12 @@ def create_scene_train_state(params: SceneParams, aux: SceneAux
     if params.rigid is not None:
         dstate["rigid"] = DensifyState.create(
             params.rigid.gauss.capacity)
+    if params.deformable is not None:
+        dstate["deformable"] = DensifyState.create(
+            params.deformable.rigid.gauss.capacity)
+    if params.smpl is not None:
+        dstate["smpl"] = DensifyState.create(
+            params.smpl.rigid.gauss.capacity)
     return SceneTrainState(
         params=params, aux=aux, opt=adam_init(params),
         dstate=dstate, knn=None, step=jnp.zeros((), jnp.int32),
@@ -213,6 +226,29 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
         ld["deform_oob"] = cfg.w_deform_oob * out_of_bound_loss(
             params.deformable, aux.deform_aux, aux.deform_alive,
             batch.frame_idx, step, cfg.scene.deformable)
+    if params.smpl is not None:
+        # full SMPL reg suite, applied every step like the reference
+        # (OmniRe smpl.py:598-744 via compute_reg_loss)
+        from ..motion.smpl import (joint_smoothness_reg,
+                                   knn_consistency_reg, x_offset_reg)
+        ld["smpl_joint_smooth"] = cfg.w_smpl_joint_smooth * \
+            joint_smoothness_reg(params.smpl)
+        ld["smpl_x_offset"] = cfg.w_smpl_x_offset * x_offset_reg(
+            params.smpl, aux.smpl_aux, aux.smpl_alive)
+        ld["smpl_scale"] = cfg.w_smpl_scale * scale_percentile_reg(
+            params.smpl.rigid.gauss.log_scales, aux.smpl_alive)
+        if knn is not None and "smpl" in knn:
+            idx, w = knn["smpl"]
+            ld["smpl_knn"] = cfg.w_smpl_knn * knn_consistency_reg(
+                params.smpl, idx, w)
+            ld["smpl_emb_knn"] = cfg.w_embedding_knn * \
+                embedding_knn_loss(params.smpl.rigid.embeddings, idx, w)
+        if params.smpl.voxel is not None:
+            from ..motion.voxel_deformer import (voxel_magnitude_loss,
+                                                 voxel_tv_loss)
+            ld["smpl_voxel"] = cfg.w_smpl_voxel * (
+                voxel_tv_loss(params.smpl.voxel)
+                + voxel_magnitude_loss(params.smpl.voxel))
     return ld
 
 
@@ -257,11 +293,19 @@ def scene_train_step(state: SceneTrainState, batch: SceneBatch,
     dstate["background"] = accumulate_stats(
         state.dstate["background"], gm2d[:cb], aux_out["radii"][:cb],
         cam.width, cam.height)
-    if "rigid" in state.dstate:
-        cr = state.params.rigid.gauss.capacity
-        dstate["rigid"] = accumulate_stats(
-            state.dstate["rigid"], gm2d[cb:cb + cr],
-            aux_out["radii"][cb:cb + cr], cam.width, cam.height)
+    off = cb
+    for name, block in (("rigid", state.params.rigid),
+                        ("deformable", state.params.deformable),
+                        ("smpl", state.params.smpl)):
+        if block is None:
+            continue
+        cap = block.gauss.capacity if name == "rigid" \
+            else block.rigid.gauss.capacity
+        if name in state.dstate:
+            dstate[name] = accumulate_stats(
+                state.dstate[name], gm2d[off:off + cap],
+                aux_out["radii"][off:off + cap], cam.width, cam.height)
+        off += cap
 
     new_state = state._replace(params=new_params, opt=new_opt,
                                dstate=dstate, step=state.step + 1)

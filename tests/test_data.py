@@ -125,3 +125,74 @@ def test_batch_source(synth):
     bs.report_error(vi, 0.5)
     _, _, _, s3b = bs.next_train("s3")
     assert 0.0 <= float(s3b.t) <= 1.0
+
+
+def test_smpl_pkl_roundtrip(tmp_path, synth):
+    """humanpose/smpl.pkl written by the fixture parses back through
+    load_scene into per-frame body quats (waymo_sourceloader.py:267-320
+    semantics: world orient = c2w @ global_orient, joints 1..23 from
+    body_pose)."""
+    scene, truth = synth
+    out = str(tmp_path / "scene")
+    write_scene_dir(scene, out, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"])
+    loaded = load_scene(out)
+    ped = [a for a in loaded.instances if a.class_name == "pedestrian"][0]
+    src = [a for a in scene.instances if a.class_name == "pedestrian"][0]
+    assert ped.smpl_quats is not None and ped.smpl_valid.all()
+    assert ped.smpl_betas is not None
+    # body joints are rebase-invariant (quat == up to sign)
+    dot = np.abs(np.sum(ped.smpl_quats[:, 1:] * src.smpl_quats[:, 1:], -1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+
+
+def test_seeding_consumes_smpl_poses(synth):
+    """build_scene_params routes data body poses into SmplParams: joints
+    1..23 from the annotation, joint 0 identity (orientation lives on the
+    root track, nodes/smpl.py:90-94), VoxelDeformer instantiated."""
+    scene, _ = synth
+    params, aux = build_scene_params(scene, n_lidar=400, n_random=200,
+                                     sky_resolution=16)
+    assert params.smpl is not None
+    bq = np.asarray(params.smpl.smpl_quats)
+    assert float(np.abs(bq[:, :, 1, 1]).max()) > 0.1       # gait hip swing
+    np.testing.assert_allclose(
+        bq[:, :, 0], np.broadcast_to(np.array([1.0, 0, 0, 0]),
+                                     bq[:, :, 0].shape), atol=1e-6)
+    assert params.smpl.voxel is not None
+    cap = params.smpl.rigid.gauss.capacity
+    assert aux.smpl_aux.template.lbs_weights.shape == (cap, 24)
+    # capacity slack for densification
+    assert int(np.sum(np.asarray(aux.smpl_alive))) < cap
+
+
+def test_kitti_layout_roundtrip(tmp_path, synth):
+    """The processed-KITTI dialect (9-value intrinsics, dataset-frame
+    extrinsics, 4-wide ego-frame lidar, kitti_sourceloader.py) loads
+    into the same SceneData as the native layout."""
+    scene, truth = synth
+    emd = str(tmp_path / "emd")
+    kit = str(tmp_path / "kitti")
+    write_scene_dir(scene, emd, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"])
+    write_scene_dir(scene, kit, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"], layout="kitti")
+    a = load_scene(emd)
+    b = load_scene(kit)                              # auto-sniffed
+    np.testing.assert_allclose(a.cam_to_worlds, b.cam_to_worlds,
+                               atol=1e-4)
+    np.testing.assert_allclose(a.intrinsics, b.intrinsics, atol=1e-4)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+    np.testing.assert_allclose(a.lidar_points[2], b.lidar_points[2],
+                               atol=1e-3)
+    # kitti ray origins are the per-frame sensor position, not per-point
+    np.testing.assert_allclose(
+        b.lidar_origins[2],
+        np.broadcast_to(b.lidar_origins[2][0], b.lidar_origins[2].shape),
+        atol=1e-5)
+    assert len(b.instances) == len(a.instances)
+    bped = [x for x in b.instances if x.class_name == "pedestrian"][0]
+    assert bped.smpl_quats is not None
+    c = load_scene(kit, layout="kitti")              # explicit
+    np.testing.assert_allclose(c.cam_to_worlds, b.cam_to_worlds,
+                               atol=1e-6)

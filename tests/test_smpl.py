@@ -172,3 +172,99 @@ def test_smpl_consistency_regs():
     params2 = params._replace(rigid=params.rigid._replace(
         gauss=g._replace(means=g.means.at[0].set(jnp.array([5., 5., 5.])))))
     assert float(x_offset_reg(params2, aux, alive)) > float(x)
+
+
+def test_smpl_multi_instance_world():
+    """Two instances with different body poses pose independently (the
+    per-gaussian weight layout must line up with tiled canonicals)."""
+    from emd_tpu.motion import SmplTemplate
+    key = jax.random.PRNGKey(0)
+    tmpl, pts = procedural_template(key, 48)
+    n_inst, n_per = 2, pts.shape[0]
+    total = n_inst * n_per
+    means = jnp.tile(pts, (n_inst, 1))
+    gauss = empty_params(total, sh_bases=1)._replace(
+        means=means, quats=random_quats(jax.random.PRNGKey(1), total))
+    pid = jnp.repeat(jnp.arange(n_inst, dtype=jnp.int32), n_per)
+    tmpl2 = SmplTemplate(
+        rest_joints=jnp.tile(tmpl.rest_joints[None], (n_inst, 1, 1)),
+        parents=tmpl.parents,
+        lbs_weights=jnp.tile(tmpl.lbs_weights, (n_inst, 1)))
+    rootq = identity_quats((N_FRAMES, n_inst))
+    roott = jnp.stack([jnp.tile(jnp.array([0., 0., 5.]), (N_FRAMES, 1)),
+                       jnp.tile(jnp.array([3., 0., 5.]), (N_FRAMES, 1))], 1)
+    fv = jnp.ones((N_FRAMES, n_inst), bool)
+    size = jnp.full((n_inst, 3), 2.0)
+    body = identity_quats((N_FRAMES, n_inst, N_JOINTS))
+    # instance 1 raises its left elbow at frame 1; instance 0 stays at rest
+    body = body.at[1, 1, 18].set(jnp.array([0.7071, 0.0, 0.0, 0.7071]))
+    params, aux = create_smpl(jax.random.PRNGKey(2), gauss, tmpl2, pid,
+                              rootq, roott, fv, size, body, SmplConfig())
+    alive = jnp.ones((total,), bool)
+    wm0, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(0),
+                                     jnp.array(0))
+    wm1, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(1),
+                                     jnp.array(0))
+    moved = np.linalg.norm(np.asarray(wm1 - wm0), axis=1)
+    assert moved[:n_per].max() < 1e-4          # instance 0 untouched
+    assert moved[n_per:].max() > 0.05          # instance 1's arm moved
+
+
+def _fake_smpl_npz(path, n_verts=42):
+    """Tiny synthetic SMPL asset: ring-ladder mesh, joint 0/3 weights,
+    one shapedir that inflates x."""
+    rng = np.random.RandomState(3)
+    rows = n_verts // 6
+    v = np.zeros((rows * 6, 3), np.float32)
+    faces = []
+    for r in range(rows):
+        for k in range(6):
+            a = 2 * np.pi * k / 6
+            v[r * 6 + k] = [0.2 * np.cos(a), 0.2 * np.sin(a), 0.1 * r]
+            if r + 1 < rows:
+                i0, i1 = r * 6 + k, r * 6 + (k + 1) % 6
+                j0, j1 = i0 + 6, (r + 1) * 6 + (k + 1) % 6
+                faces.append([i0, i1, j1])
+                faces.append([i0, j1, j0])
+    faces = np.asarray(faces, np.int64)
+    w = np.zeros((v.shape[0], 24), np.float32)
+    w[:, 0] = np.clip(1.0 - v[:, 2] / (0.1 * rows), 0, 1)
+    w[:, 3] = 1.0 - w[:, 0]
+    jreg = np.zeros((24, v.shape[0]), np.float32)
+    jreg[:, 0] = 1.0                       # all joints at vertex 0 (dummy)
+    shapedirs = np.zeros((v.shape[0], 3, 10), np.float32)
+    shapedirs[:, 0, 0] = v[:, 0]           # beta0 scales x
+    np.savez(path, v_template=v, weights=w, J_regressor=jreg,
+             f=faces, shapedirs=shapedirs)
+    return v, faces
+
+
+def test_load_smpl_model_betas_and_on_mesh_init(tmp_path):
+    from emd_tpu.motion import load_smpl_model, on_mesh_init, \
+        shaped_vertices
+    path = str(tmp_path / "smpl.npz")
+    v, faces = _fake_smpl_npz(path)
+    model = load_smpl_model(path)
+    assert model["weights"].shape == (v.shape[0], 24)
+    v0, j0 = shaped_vertices(model, None)
+    np.testing.assert_allclose(v0, v, atol=1e-6)
+    # beta0 = 1 inflates x by v_x (shapedirs above)
+    v1, j1 = shaped_vertices(model, np.array([1.0] + [0.0] * 9,
+                                             np.float32))
+    np.testing.assert_allclose(v1[:, 0], 2 * v[:, 0], atol=1e-5)
+    np.testing.assert_allclose(v1[:, 1:], v[:, 1:], atol=1e-6)
+
+    q, ls, op = on_mesh_init(v0, faces)
+    assert q.shape == (v.shape[0], 4) and ls.shape == (v.shape[0], 3)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)
+    # ring interior vertices: normal is radial; the z-scale (thickness)
+    # should be half the in-plane scale
+    np.testing.assert_allclose(ls[:, 2], ls[:, 0] - np.log(2.0), atol=1e-5)
+    from emd_tpu.core import quat_to_rotmat
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q[6:12])))
+    nrm = v0[6:12] / np.linalg.norm(v0[6:12][:, :2], axis=1,
+                                    keepdims=True)
+    # z-column of the frame is +-the radial normal for mid-ring vertices
+    dots = np.abs(np.sum(R[:, :, 2] * np.stack(
+        [nrm[:, 0], nrm[:, 1], np.zeros(6)], 1), 1))
+    assert dots.min() > 0.9
