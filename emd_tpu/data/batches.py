@@ -29,7 +29,13 @@ class BatchSource:
     and intrinsics rescaled on the fly (cached per factor)."""
 
     def __init__(self, scene: SceneData, test_stride: int = 10,
-                 with_depth: bool = True, seed: int = 0):
+                 with_depth: bool = True, seed: int = 0,
+                 depth_mode: str = "single", depth_cache: str | None = None,
+                 load_dense_depth: bool = False):
+        """`depth_mode="aggregate"` builds 3-frame neighbor-aggregated
+        sparse depth maps with an on-disk cache (the S3 depth pipeline,
+        dataset_readers.py:613-698); "single" projects each frame's own
+        sweep (OmniRe project_lidar_pts_on_images)."""
         self.scene = scene
         self.train_frames, self.test_frames = split_train_test(
             scene.num_frames, test_stride)
@@ -42,13 +48,19 @@ class BatchSource:
         self.downscale = 1
         self._pyramid: dict = {}
         if with_depth and scene.lidar_points is not None:
-            self.depths = np.zeros(
-                (scene.num_frames, scene.num_cams, h, w), np.float32)
-            for f in range(scene.num_frames):
-                for c in range(scene.num_cams):
-                    self.depths[f, c] = project_depth(
-                        scene.lidar_points[f], scene.intrinsics[c],
-                        scene.cam_to_worlds[f, c], w, h)
+            if depth_mode == "aggregate":
+                from .depth import sparse_depth_maps
+                self.depths = sparse_depth_maps(
+                    scene, cache_dir=depth_cache,
+                    load_dense=load_dense_depth)
+            else:
+                self.depths = np.zeros(
+                    (scene.num_frames, scene.num_cams, h, w), np.float32)
+                for f in range(scene.num_frames):
+                    for c in range(scene.num_cams):
+                        self.depths[f, c] = project_depth(
+                            scene.lidar_points[f], scene.intrinsics[c],
+                            scene.cam_to_worlds[f, c], w, h)
 
     def set_downscale(self, factor: int) -> None:
         self.downscale = max(1, int(factor))

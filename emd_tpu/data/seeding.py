@@ -13,6 +13,8 @@ Re-creations of the reference init paths:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -104,6 +106,49 @@ def seed_background(scene: SceneData, n_lidar: int = 60_000,
     times[t_all.shape[0]:pts.shape[0]] = rng.uniform(
         0, 1, pts.shape[0] - t_all.shape[0])
     return params, alive, times
+
+
+def seed_s3_background(scene: SceneData, num_pts: int = 1_500_000,
+                       grid_voxel: float = 0.013,
+                       capacity_factor: float = 2.0, seed: int = 0,
+                       sh_bases: int = 16, cache_dir: str | None = None,
+                       occ_voxel: float = 0.4):
+    """S3-flavor init: the multi-sweep lidar union filtered to the camera
+    AABB, grid-downsampled (one point per voxel), capped at `num_pts`
+    (S3 dataset_readers.py:702-740), with the occupancy grid computed and
+    cached alongside (occ_grid.npy). Returns (params, alive, occ) where
+    occ = (grid, lo, hi, voxel)."""
+    from .depth import get_occ_grid, grid_sample_points, lidar_colors
+
+    rng = np.random.RandomState(seed)
+    pts_l, col_l = [], []
+    for fi in range(scene.num_frames):
+        pts = scene.lidar_points[fi]
+        if pts.shape[0] == 0:
+            continue
+        cols, _ = lidar_colors(pts, scene.images[fi, 0],
+                               scene.intrinsics[0],
+                               scene.cam_to_worlds[fi, 0])
+        pts_l.append(pts)
+        col_l.append(cols)
+    pts = np.concatenate(pts_l)
+    cols = np.concatenate(col_l)
+    lo, hi = scene.aabb()
+    inside = np.all((pts >= lo) & (pts <= hi), axis=-1)
+    pts, cols = pts[inside], cols[inside]
+
+    occ_path = (os.path.join(cache_dir, "occ_grid.npy")
+                if cache_dir is not None else None)
+    grid = get_occ_grid(pts, lo, hi, occ_voxel, cache_path=occ_path)
+
+    pts, cols = grid_sample_points(pts, cols, grid_voxel)
+    if pts.shape[0] > num_pts:
+        sel = rng.choice(pts.shape[0], num_pts, replace=False)
+        pts, cols = pts[sel], cols[sel]
+    capacity = -(-int(pts.shape[0] * capacity_factor) // 256) * 256
+    params, alive = params_from_points(pts, np.clip(cols, 0, 1), capacity,
+                                       sh_bases=sh_bases, seed=seed)
+    return params, alive, (grid, lo, hi, occ_voxel)
 
 
 def seed_instances(scene: SceneData, classes: tuple[str, ...],

@@ -43,6 +43,16 @@ class S3LoopConfig:
     ckpt_interval: int = 20_000
     test_stride: int = 10
     seed: int = 0
+    # S3 data/init pipeline (dataset_readers.py:613-740)
+    num_init_pts: int = 1_500_000      # init cap after grid downsample
+    aggregate_depth: bool = True       # 3-frame sparse-depth maps
+    depth_cache: str | None = None     # sparse_depth/ + occ_grid.npy dir
+    # point growing (gaussian_model.grow:662-694 — dormant in the
+    # reference, off by default; enable with an interval > 0)
+    grow_interval: int = 0
+    grow_start: int = 5000
+    grow_density_thresh: float = 2.0   # x median knn distance = sparse
+    grow_displacement: float = 0.2     # jitter scale * knn distance
 
 
 def _gauss_opt(state: S3TrainState) -> AdamState:
@@ -73,10 +83,13 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     cfg = dataclasses.replace(cfg, coarse_iters=loop.coarse_iters,
                               max_steps=loop.max_steps)
 
+    occ = None
     if params_alive is None:
         logger.info("seeding S3 gaussians from lidar ...")
-        gauss, alive = seed_background(scene, seed=loop.seed,
-                                       sh_bases=cfg.field.sh_bases)
+        from ..data.seeding import seed_s3_background
+        gauss, alive, occ = seed_s3_background(
+            scene, num_pts=loop.num_init_pts, seed=loop.seed,
+            sh_bases=cfg.field.sh_bases, cache_dir=loop.depth_cache)
         lo, hi = scene.aabb()
         field = create_s3_field(jax.random.PRNGKey(loop.seed), cfg.field)
         field = field._replace(hexplane=set_aabb(field.hexplane, lo, hi))
@@ -90,8 +103,10 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     state = create_s3_train_state(params, alive)
     spatial_scale = spatial_scale or scene.camera_extent()
 
-    source = BatchSource(scene, test_stride=loop.test_stride,
-                        seed=loop.seed)
+    source = BatchSource(
+        scene, test_stride=loop.test_stride, seed=loop.seed,
+        depth_mode="aggregate" if loop.aggregate_depth else "single",
+        depth_cache=loop.depth_cache)
     metrics_log = MetricLogger(out_dir)
     key = jax.random.PRNGKey(loop.seed)
 
@@ -143,6 +158,10 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
             g, opt_g = reset_opacity(state.params.gauss, _gauss_opt(state))
             state = _set_gauss(state, g, opt_g, state.alive, state.dstate)
 
+        if (loop.grow_interval > 0 and step >= loop.grow_start
+                and step % loop.grow_interval == 0):
+            state = grow_points(state, loop, occ, logger, step)
+
         if step % loop.log_interval == 0:
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
@@ -153,3 +172,78 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.alive, state.step))
     return state
+
+
+def grow_points(state: S3TrainState, loop: S3LoopConfig, occ, logger,
+                step: int) -> S3TrainState:
+    """Point growing: jittered copies of low-density gaussians written
+    into dead capacity slots (a working re-creation of the reference's
+    dormant gaussian_model.grow:662-694 / add_point_by_mask: find sparse
+    regions by KNN distance, displace, keep points inside the volume —
+    here additionally gated by the lidar occupancy grid when available)."""
+    from ..motion.embedding_reg import knn_graph
+
+    means = np.asarray(state.params.gauss.means)
+    alive = np.asarray(state.alive)
+    idx, w = knn_graph(means, alive, k=4)
+    alive_idx = np.flatnonzero(alive)
+    neigh = means[idx[alive_idx]] - means[alive_idx][:, None]
+    dist = np.linalg.norm(neigh, axis=-1).mean(axis=1)
+    med = np.median(dist)
+    sparse = dist > loop.grow_density_thresh * med
+    src = alive_idx[sparse]
+    dead = np.flatnonzero(~alive)
+    n_new = min(src.shape[0], dead.shape[0])
+    if n_new == 0:
+        logger.info("grow@%d: nothing to add", step)
+        return state
+    rng = np.random.RandomState(step)
+    src = src[:n_new]
+    dst = dead[:n_new]
+    jitter = rng.randn(n_new, 3).astype(np.float32) \
+        * (loop.grow_displacement * dist[sparse][:n_new, None])
+    new_means = means[src] + jitter
+    keep = np.ones(n_new, bool)
+    if occ is not None:
+        from ..data.depth import occ_grid_lookup
+        grid, lo, hi, voxel = occ
+        keep = occ_grid_lookup(grid, lo, hi, voxel, new_means)
+    src, dst, new_means = src[keep], dst[keep], new_means[keep]
+    if src.shape[0] == 0:
+        logger.info("grow@%d: all candidates unoccupied", step)
+        return state
+
+    def copy_rows(leaf):
+        arr = np.asarray(leaf)
+        if arr.ndim == 0 or arr.shape[0] != alive.shape[0]:
+            return leaf
+        arr = arr.copy()
+        arr[dst] = arr[src]
+        return jnp.asarray(arr)
+
+    gauss = jax.tree.map(copy_rows, state.params.gauss)
+    gauss = gauss._replace(
+        means=gauss.means.at[dst].set(jnp.asarray(new_means)))
+    emb = copy_rows(state.params.embeddings)
+    new_alive = state.alive.at[jnp.asarray(dst)].set(True)
+
+    def zero_rows(leaf):
+        arr = np.asarray(leaf)
+        if arr.ndim == 0 or arr.shape[0] != alive.shape[0]:
+            return leaf
+        arr = arr.copy()
+        arr[dst] = 0
+        return jnp.asarray(arr)
+
+    opt = state.opt._replace(
+        mu=state.opt.mu._replace(gauss=jax.tree.map(
+            zero_rows, state.opt.mu.gauss),
+            embeddings=zero_rows(state.opt.mu.embeddings)),
+        nu=state.opt.nu._replace(gauss=jax.tree.map(
+            zero_rows, state.opt.nu.gauss),
+            embeddings=zero_rows(state.opt.nu.embeddings)))
+    logger.info("grow@%d: added %d points (sparse %d, dead %d)",
+                step, src.shape[0], int(sparse.sum()), dead.shape[0])
+    return state._replace(
+        params=state.params._replace(gauss=gauss, embeddings=emb),
+        opt=opt, alive=new_alive)

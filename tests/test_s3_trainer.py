@@ -111,3 +111,82 @@ def test_s3_decomposition_and_flow():
                                         [0.0, 0.0, 0.0]]))
     assert flow.shape == (2, 3)
     np.testing.assert_allclose(np.asarray(flow[1]), 0.5, atol=1e-6)
+
+
+def test_aggregated_sparse_depth_and_cache(tmp_path):
+    import numpy as np
+    from emd_tpu.data import make_synthetic_scene
+    from emd_tpu.data.depth import project_depth, sparse_depth_maps
+
+    scene, _ = make_synthetic_scene(n_frames=5, n_cams=1, width=48,
+                                    height=32, n_lidar=500)
+    cache = str(tmp_path / "scene")
+    d = sparse_depth_maps(scene, cache_dir=cache)
+    assert d.shape == (5, 1, 32, 48)
+    # aggregation covers at least as many pixels as the single sweep
+    single = project_depth(scene.lidar_points[2], scene.intrinsics[0],
+                           scene.cam_to_worlds[2, 0], 48, 32)
+    assert (d[2, 0] > 0).sum() >= (single > 0).sum()
+    # cache round trip is exact
+    d2 = sparse_depth_maps(scene, cache_dir=cache)
+    np.testing.assert_array_equal(d, d2)
+    # dense-depth override wins when present
+    import os
+    os.makedirs(os.path.join(cache, "dense_depth"), exist_ok=True)
+    dense = np.full((32, 48), 7.5, np.float32)
+    np.save(os.path.join(cache, "dense_depth", "001_0.npy"), dense)
+    d3 = sparse_depth_maps(scene, cache_dir=cache, load_dense=True)
+    np.testing.assert_allclose(d3[1, 0], dense)
+
+
+def test_seed_s3_background_and_occ_grid(tmp_path):
+    import numpy as np
+    from emd_tpu.data import make_synthetic_scene
+    from emd_tpu.data.depth import occ_grid_lookup
+    from emd_tpu.data.seeding import seed_s3_background
+
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=48,
+                                    height=32, n_lidar=800)
+    params, alive, occ = seed_s3_background(
+        scene, num_pts=700, cache_dir=str(tmp_path))
+    assert int(np.sum(np.asarray(alive))) <= 700
+    grid, lo, hi, voxel = occ
+    assert grid.dtype == np.bool_ and grid.any()
+    assert (tmp_path / "occ_grid.npy").exists()
+    # seeded points sit in occupied voxels by construction
+    pts = np.asarray(params.means)[np.asarray(alive)]
+    assert occ_grid_lookup(grid, lo, hi, voxel, pts).mean() > 0.95
+
+
+def test_grow_points_fills_dead_slots():
+    import numpy as np
+    import logging
+    from emd_tpu.data import make_synthetic_scene
+    from emd_tpu.train.s3_loop import S3LoopConfig, fit_s3, grow_points
+    from emd_tpu.train.s3_trainer import create_s3_train_state, S3Params
+    from emd_tpu.core.gaussians import params_from_points
+    from emd_tpu.motion.s3field import create_s3_field
+    from emd_tpu.train.s3_trainer import S3TrainConfig
+    from emd_tpu.scene.sky import SkyCubemap
+
+    rng = np.random.RandomState(0)
+    # dense cluster + a few isolated points, plenty of dead capacity
+    dense = rng.randn(200, 3).astype(np.float32) * 0.1
+    sparse = (rng.rand(8, 3).astype(np.float32) - 0.5) * 30.0
+    pts = np.concatenate([dense, sparse])
+    cfg = S3TrainConfig()
+    gauss, alive = params_from_points(
+        pts, np.full((pts.shape[0], 3), 0.5, np.float32), 512,
+        sh_bases=cfg.field.sh_bases)
+    field = create_s3_field(jax.random.PRNGKey(0), cfg.field)
+    params = S3Params(gauss=gauss,
+                      embeddings=jnp.zeros((512, 8)),
+                      field=field, sky=SkyCubemap.create(16))
+    state = create_s3_train_state(params, alive)
+    n0 = int(np.sum(np.asarray(state.alive)))
+    loop = S3LoopConfig(grow_interval=10, grow_start=0)
+    state2 = grow_points(state, loop, None, logging.getLogger("t"), 10)
+    n1 = int(np.sum(np.asarray(state2.alive)))
+    assert n1 > n0
+    # new points live near the isolated originals, moments zeroed
+    assert bool(jnp.all(jnp.isfinite(state2.params.gauss.means)))
