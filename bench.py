@@ -86,15 +86,24 @@ def main():
         out = render_params(params, alive, cam, jnp.ones((16,)), cfg)
         return jnp.sum(out.rgb ** 2) + jnp.sum(out.alpha)
 
-    f = jax.jit(jax.value_and_grad(loss_fn))
-    v, g = f(params)   # compile
-    v.block_until_ready()
+    # chained-on-device timing: each iteration's params depend on the
+    # previous iteration's gradients, and ONE host fetch closes the
+    # timing. (block_until_ready does not block on relay-style backends,
+    # so timing un-consumed dispatches measures dispatch, not compute.)
+    def step(params):
+        v, g = jax.value_and_grad(loss_fn)(params)
+        bumped = jax.tree.map(lambda p, gg: p + 0.0 * gg, params, g)
+        return bumped, v
+
+    f = jax.jit(step)
+    params2, v = f(params)   # compile
+    _ = float(v)             # sync
 
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        v, g = f(params)
-    jax.block_until_ready(v)
+        params2, v = f(params2)
+    _ = float(v)             # one consuming fetch
     dt = (time.time() - t0) / iters
 
     pix_s = width * height / dt

@@ -133,3 +133,20 @@ def params_from_points(
 
 def num_alive(alive: jax.Array) -> jax.Array:
     return jnp.sum(alive.astype(jnp.int32))
+
+
+def gaussian_normals(means, quats, scales, cam_position):
+    """Per-gaussian surface normal: the gaussian frame's smallest-scale
+    axis, sign-oriented toward the camera (what diff_gauss's normal
+    output channel computes per gaussian before compositing,
+    S3Gaussian/gaussian_renderer/__init__.py:145-155)."""
+    from .quat import quat_normalize, quat_to_rotmat
+
+    R = quat_to_rotmat(quat_normalize(quats))           # (N, 3, 3)
+    k = jnp.argmin(scales, axis=-1)                     # flattest axis
+    sel = jax.nn.one_hot(k, 3, dtype=R.dtype)           # (N, 3)
+    n = jnp.einsum("nij,nj->ni", R, sel)                # column k of R
+    view = cam_position[None, :] - means
+    sign = jnp.where(jnp.sum(n * view, axis=-1, keepdims=True) < 0.0,
+                     -1.0, 1.0)
+    return n * sign

@@ -28,7 +28,7 @@ ZERO budget-sized scatters in either direction:
   3. one `jax.lax.sort` on a fused uint32 key — tile id in the high bits,
      the top bits of the positive-float depth pattern in the low bits
      (positive IEEE floats compare like their bit patterns — the CUDA
-     radix-key trick) — carrying the pre-sort slot index `perm`.
+     radix-key trick) — carrying the owning gaussian id as payload.
   4. per-tile counts from the *sorted* keys via searchsorted (T+1 binary
      searches — no histogram scatter-add). The chunk-PADDED layout the
      Pallas compositor consumes is built by BROADCAST, not scatter: all
@@ -272,12 +272,14 @@ def bin_gaussians(
     tile_y = ty0_f + b // w_f
     tile_id = jnp.where(in_range, tile_y * ntx + tile_x, n_tiles)
 
-    # ---- one fused-key sort carrying the pre-sort slot index
+    # ---- one fused-key sort, carrying the (pre-masked) gaussian id as
+    # payload so no separate budget-sized permutation gather is needed
     tile_bits = max(1, int(n_tiles).bit_length())
     db = 31 - tile_bits
     key = ((tile_id.astype(jnp.uint32) << db)
            | (dbits_f >> (32 - db)))
-    key_s, perm = jax.lax.sort((key, slots), num_keys=1)
+    gid_masked = jnp.where(in_range, gid_f, n)
+    key_s, gid_sorted = jax.lax.sort((key, gid_masked), num_keys=1)
     tile_s = (key_s >> db).astype(jnp.int32)
 
     # ---- per-tile counts from the sorted keys (no scatter-add)
@@ -311,8 +313,7 @@ def bin_gaussians(
     src = (o - c_shift[:, None]).reshape(-1)            # sorted slot per o
     valid_o = (o < c_end[:, None]).reshape(-1)
 
-    # composed map: padded slot -> sorted slot -> pre slot -> gaussian
-    gid_sorted = jnp.take(jnp.where(in_range, gid_f, n), perm)
+    # padded slot -> sorted slot -> gaussian (gid_sorted rode the sort)
     gid_pad = jnp.where(
         valid_o, jnp.take(gid_sorted, jnp.clip(src, 0, budget - 1)), n)
 

@@ -15,6 +15,7 @@ controller exactly like the reference's `info["means2d"].grad`.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -33,8 +34,9 @@ from .projection import Projected, project_gaussians
 CHUNK = 128
 
 
-@jax.custom_vjp
-def expand_instances(packed: jax.Array, binning: Binning) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def expand_instances(packed: jax.Array, binning: Binning,
+                     n_rows: int = 16) -> jax.Array:
     """Gather per-gaussian attribute rows (F, N+1) to per-instance slots
     (F, M_pad) via binning.gid — with a hand-written VJP.
 
@@ -50,26 +52,36 @@ def expand_instances(packed: jax.Array, binning: Binning) -> jax.Array:
     segment reduction. No budget-sized gather or scatter anywhere —
     column gathers from a >100 MB (F, M) table measure 50-100 ms on this
     chip (strided columns), which sank two earlier formulations of this
-    backward (inverse-permutation gather and dest-map gather)."""
+    backward (inverse-permutation gather and dest-map gather).
+
+    `n_rows` (static) is the count of packed rows whose cotangents can be
+    nonzero — rows beyond it are structural zeros (absent features, the
+    16-row DMA padding), so the backward sorts/reduces only the first
+    n_rows and fills the rest with zeros. The forward always expands all
+    16 rows (the kernel's DMA layout needs them)."""
     return jnp.take(packed, binning.gid, axis=1)
 
 
-def _expand_fwd(packed, binning):
-    return expand_instances(packed, binning), (packed.shape, binning)
+def _expand_fwd(packed, binning, n_rows):
+    return expand_instances(packed, binning, n_rows), \
+        (packed.shape, binning)
 
 
-def _expand_bwd(res, g):
+def _expand_bwd(n_rows, res, g):
     shape, binning = res
-    srt = jax.lax.sort((binning.gid,) + tuple(g), num_keys=1)
-    g_grp = jnp.stack(srt[1:])                        # (F, M_pad) gid-major
+    srt = jax.lax.sort((binning.gid,) + tuple(g[:n_rows]), num_keys=1)
+    g_grp = jnp.stack(srt[1:])                   # (n_rows, M_pad) gid-major
     cs = jnp.cumsum(g_grp, axis=1)
-    cs0 = jnp.concatenate([jnp.zeros((g.shape[0], 1), cs.dtype), cs],
+    cs0 = jnp.concatenate([jnp.zeros((n_rows, 1), cs.dtype), cs],
                           axis=1)
     seg = (jnp.take(cs0, binning.seg_ends, axis=1)
-           - jnp.take(cs0, binning.seg_starts, axis=1))   # (F, N)
-    g_packed = jnp.concatenate(
-        [seg, jnp.zeros((g.shape[0], shape[1] - seg.shape[1]), seg.dtype)],
-        axis=1)
+           - jnp.take(cs0, binning.seg_starts, axis=1))   # (n_rows, N)
+    g_packed = jnp.concatenate([
+        jnp.concatenate(
+            [seg, jnp.zeros((n_rows, shape[1] - seg.shape[1]), seg.dtype)],
+            axis=1),
+        jnp.zeros((shape[0] - n_rows, shape[1]), seg.dtype),
+    ], axis=0)
     return g_packed, None
 
 
@@ -147,7 +159,10 @@ def rasterize(
     )  # fields-major (16, N)
     packed = jnp.concatenate(
         [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
-    inst = expand_instances(packed, binning)
+    # rows 0-9 (means2d/conic/rgb/opacity/depth) always carry gradient;
+    # 10-12 only when features are rendered; 13-15 are DMA padding
+    inst = expand_instances(packed, binning,
+                            13 if features is not None else 10)
 
     ntx, nty = num_tiles(cam.width, cam.height, TILE)
     tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret)

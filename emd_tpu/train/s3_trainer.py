@@ -140,8 +140,14 @@ def s3_lr_tree(params: S3Params, cfg: S3TrainConfig, step,
 
 def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
               t: jax.Array, cam_no: jax.Array, step: jax.Array,
-              fine_stage: bool, means2d_offset=None):
-    """One S3 render; returns (rgb, depth, alpha, raster_out, deform_out)."""
+              fine_stage: bool, means2d_offset=None,
+              render_normals: bool = False):
+    """One S3 render; returns (rgb, depth, alpha, raster_out, deform_out).
+
+    `render_normals` routes per-gaussian surface normals through the
+    feature channels, so `out.feat` is the composited normal map — the
+    diff_gauss normal output channel
+    (S3Gaussian/gaussian_renderer/__init__.py:145-155)."""
     g = params.gauss
     shs_raw = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
 
@@ -175,6 +181,10 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
 
     features = deform.feat if (deform is not None
                                and deform.feat is not None) else None
+    if render_normals:
+        from ..core.gaussians import gaussian_normals
+        features = gaussian_normals(means, quats, jnp.exp(log_scales),
+                                    cam.position)
     out = rasterize(means, quats, jnp.exp(log_scales), opac, colors, cam,
                     budget=cfg.budget, antialiased=cfg.antialiased,
                     means2d_offset=means2d_offset, features=features,

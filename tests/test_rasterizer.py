@@ -235,3 +235,40 @@ def test_budget_rounding_and_tiny_budget():
     out = rasterize(means, quats, scales, opac, colors, cam,
                     budget=1000, interpret=True)  # not a power of two
     assert bool(jnp.all(jnp.isfinite(out.rgb)))
+
+
+def test_normals_channel():
+    """Per-gaussian normals composite through the feature channels: a
+    camera-facing flat disk renders a normal map pointing back at the
+    camera (diff_gauss's normal output, gaussian_renderer:145-155)."""
+    import numpy as np
+    from emd_tpu.core import make_camera, random_quats
+    from emd_tpu.core.gaussians import gaussian_normals
+    from emd_tpu.raster import rasterize
+
+    n = 64
+    key = jax.random.PRNGKey(0)
+    means = jnp.concatenate([
+        jax.random.uniform(key, (n, 2), minval=-0.5, maxval=0.5),
+        jnp.full((n, 1), 5.0)], axis=-1)
+    # flat disks facing the camera: identity quats, tiny z-scale
+    quats = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    scales = jnp.concatenate([jnp.full((n, 2), 0.3),
+                              jnp.full((n, 1), 1e-3)], axis=-1)
+    nrm = gaussian_normals(means, quats, scales, jnp.zeros((3,)))
+    # normal = -z axis (toward the camera at origin, +z forward)
+    np.testing.assert_allclose(np.asarray(nrm[:, 2]), -1.0, atol=1e-5)
+
+    cam = make_camera(60.0, 60.0, 32.0, 32.0, jnp.eye(4), 64, 64)
+    out = rasterize(means, quats, scales, jnp.full((n,), 0.9),
+                    jnp.full((n, 3), 0.5), cam, budget=1 << 12,
+                    features=nrm)
+    m = np.asarray(out.alpha) > 0.5
+    assert m.sum() > 50
+    nz = np.asarray(out.feat[..., 2])[m] / np.asarray(out.alpha)[m]
+    np.testing.assert_allclose(nz, -1.0, atol=1e-3)
+
+    # sign orientation: a gaussian behind the camera plane flips
+    nrm2 = gaussian_normals(means, quats, scales,
+                            jnp.asarray([0.0, 0.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(nrm2[:, 2]), 1.0, atol=1e-5)

@@ -1,0 +1,285 @@
+"""Oracle-GT self-consistency quality gate.
+
+Builds a KNOWN gaussian street scene (opaque background + moving rigid
+vehicle + sky cubemap), renders ground-truth images with the verified
+rasterizer (the compiled kernels are gated against the dense oracle at
+5e-5 by tools/tpu_smoke.py), then trains a fresh scene-graph model from
+lidar-style seeding against those images and reports held-out PSNR.
+
+Unlike the point-splat synthetic GT (whose speckle caps PSNR ~24), the
+target here is exactly representable by the model class, so test PSNR
+measures the training stack — seeding, densification, EMD motion, eval —
+not the fixture (the reference's metric protocol, video_utils.py:72-82).
+
+Run (chip): PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/self_consistency.py --steps 3000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
+                   width=480, height=320, seed=0):
+    """Known SceneParams + cameras + instance track for the GT render."""
+    from emd_tpu.core import random_quats, rgb_to_sh0
+    from emd_tpu.motion.rigid import RigidConfig, create_rigid
+    from emd_tpu.scene import (SceneAux, SceneParams, empty_params)
+    from emd_tpu.scene.correction import (AffineCorrection,
+                                          CameraPoseCorrection)
+    from emd_tpu.scene.sky import SkyCubemap
+
+    rng = np.random.RandomState(seed)
+
+    # --- background surfaces (world z-up, road along +x)
+    kinds = rng.randint(0, 4, n_bg)
+    x = rng.uniform(-5.0, 60.0, n_bg).astype(np.float32)
+    pts = np.zeros((n_bg, 3), np.float32)
+    g = kinds <= 1
+    pts[g] = np.stack([x[g], rng.uniform(-9, 9, g.sum()),
+                       np.zeros(g.sum())], 1)
+    lw = kinds == 2
+    pts[lw] = np.stack([x[lw], np.full(lw.sum(), -9.0),
+                        rng.uniform(0, 6, lw.sum())], 1)
+    rw = kinds == 3
+    pts[rw] = np.stack([x[rw], np.full(rw.sum(), 9.0),
+                        rng.uniform(0, 6, rw.sum())], 1)
+    colors = np.clip(0.35 + 0.3 * np.sin(pts * [[0.6, 1.2, 0.9]])
+                     + 0.05 * rng.randn(n_bg, 3), 0, 1).astype(np.float32)
+    bg = empty_params(n_bg, sh_bases=16)
+    key = jax.random.PRNGKey(seed)
+    area_per_pt = (2 * 18 * 65 + 2 * 6 * 65) / n_bg
+    s_base = 1.6 * np.sqrt(area_per_pt / np.pi)
+    bg = bg._replace(
+        means=jnp.asarray(pts),
+        log_scales=jnp.log(jnp.asarray(
+            s_base * rng.uniform(0.6, 1.6, (n_bg, 3)), jnp.float32)),
+        quats=random_quats(key, n_bg),
+        sh_dc=rgb_to_sh0(jnp.asarray(colors)),
+        logit_opacities=jnp.full((n_bg,), 2.5),
+    )
+    bg_alive = jnp.ones((n_bg,), bool)
+
+    # --- moving vehicle: box-surface gaussians, drives -x on the left
+    face = rng.randint(0, 6, n_veh)
+    p = (rng.rand(n_veh, 3) - 0.5).astype(np.float32)
+    size = np.array([4.2, 1.9, 1.6], np.float32)
+    for i, f in enumerate(face):
+        p[i, f // 2] = 0.5 * (1 if f % 2 else -1)
+    veh_local = p * size[None]
+    veh_col = np.clip(np.tile([[0.75, 0.15, 0.1]], (n_veh, 1))
+                      + 0.05 * rng.randn(n_veh, 3), 0, 1).astype(np.float32)
+    vg = empty_params(n_veh, sh_bases=4)
+    vg = vg._replace(
+        means=jnp.asarray(veh_local),
+        log_scales=jnp.log(jnp.full((n_veh, 3), 0.055, jnp.float32)),
+        quats=random_quats(jax.random.PRNGKey(seed + 1), n_veh),
+        sh_dc=rgb_to_sh0(jnp.asarray(veh_col)),
+        logit_opacities=jnp.full((n_veh,), 2.5),
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    for f in range(n_frames):
+        poses[f, :3, :3] = _rot_z(np.pi)
+        poses[f, :3, 3] = [44.0 - 1.8 * f, 3.2, 0.8]
+    from emd_tpu.core.quat import rotmat_to_quat
+    rq = np.asarray(rotmat_to_quat(jnp.asarray(poses[:, :3, :3])))[:, None]
+    rt = poses[:, None, :3, 3]
+    fv = np.ones((n_frames, 1), bool)
+    rigid, rigid_aux = create_rigid(
+        jax.random.PRNGKey(seed + 2), vg, jnp.zeros((n_veh,), jnp.int32),
+        rq, rt, fv, size[None], RigidConfig())
+    rigid_alive = jnp.ones((n_veh,), bool)
+
+    # --- sky: smooth colorful cubemap
+    sky = SkyCubemap.create(64)
+    faces = np.array(sky.faces)
+    gy, gx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64),
+                         indexing="ij")
+    for i in range(6):
+        faces[i, ..., 0] = 0.35 + 0.3 * gx
+        faces[i, ..., 1] = 0.45 + 0.3 * gy
+        faces[i, ..., 2] = 0.75 - 0.2 * gx
+    sky = sky._replace(faces=jnp.asarray(faces, jnp.float32))
+
+    n_images = n_frames * n_cams
+    params = SceneParams(
+        background=bg, rigid=rigid, deformable=None, smpl=None,
+        sky=sky, affine=AffineCorrection.create(n_images),
+        cam_pose=CameraPoseCorrection.create(n_images))
+    aux = SceneAux(bg_alive=bg_alive, rigid_aux=rigid_aux,
+                   rigid_alive=rigid_alive, deform_aux=None,
+                   deform_alive=None, smpl_aux=None, smpl_alive=None)
+
+    # --- cameras: ego drives +x at 1.2 m/frame
+    fx = fy = 0.62 * width
+    K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]],
+                 np.float32)
+    ego = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    for f in range(n_frames):
+        ego[f, 0, 3] = f * 1.2
+        ego[f, 2, 3] = 1.6
+    c2e_base = np.array([
+        [0, 0, 1, 0.5], [-1, 0, 0, 0.0], [0, -1, 0, 0.0],
+        [0, 0, 0, 1]], np.float32)
+    cam2ego = []
+    for c in range(n_cams):
+        m = c2e_base.copy()
+        m[:3, :3] = _rot_z(-0.3 if c == 1 else 0.0) @ m[:3, :3]
+        cam2ego.append(m)
+    cam2ego = np.stack(cam2ego)
+    cam_to_worlds = np.einsum("fij,cjk->fcik", ego, cam2ego)
+    meta = dict(K=K, ego=ego, cam2ego=cam2ego,
+                cam_to_worlds=cam_to_worlds.astype(np.float32),
+                veh_poses=poses, veh_size=size,
+                width=width, height=height,
+                n_frames=n_frames, n_cams=n_cams)
+    return params, aux, meta
+
+
+def render_gt(params, aux, meta, budget):
+    """GT images/sky masks/vehicle masks via the scene renderer."""
+    from emd_tpu.core import make_camera
+    from emd_tpu.scene.scene_graph import SceneConfig, render_scene
+
+    cfg = SceneConfig(budget=budget, sh_degree_interval=1)
+    w, h = meta["width"], meta["height"]
+    K = meta["K"]
+
+    def one(c2w, frame, img_idx, weights):
+        cam = make_camera(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                          jnp.asarray(c2w), w, h)
+        out = render_scene(params, aux, cfg, cam, frame, img_idx,
+                           jnp.asarray(10_000), class_weights=weights)
+        return out.rgb, out.raster.alpha
+
+    jit_full = jax.jit(lambda c, f, i: one(c, f, i, None))
+    jit_veh = jax.jit(lambda c, f, i: one(
+        c, f, i, {"Background": 0.0}))
+    F, C = meta["n_frames"], meta["n_cams"]
+    images = np.zeros((F, C, h, w, 3), np.float32)
+    sky_masks = np.zeros((F, C, h, w), bool)
+    veh_masks = np.zeros((F, C, h, w), bool)
+    for f in range(F):
+        for c in range(C):
+            rgb, alpha = jit_full(meta["cam_to_worlds"][f, c],
+                                  jnp.asarray(f), jnp.asarray(f * C + c))
+            _, valpha = jit_veh(meta["cam_to_worlds"][f, c],
+                                jnp.asarray(f), jnp.asarray(f * C + c))
+            images[f, c] = np.clip(np.asarray(rgb), 0, 1)
+            sky_masks[f, c] = np.asarray(alpha) < 0.5
+            veh_masks[f, c] = np.asarray(valpha) > 0.5
+    return images, sky_masks, veh_masks
+
+
+def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
+                  n_lidar=12_000, seed=0):
+    """Lidar-style SceneData: per-frame subsamples of the TRUE surface
+    points (background means + posed vehicle means) with noise — what a
+    sensor would return, not the GT params."""
+    from emd_tpu.data.scene_data import InstanceAnn, SceneData
+
+    rng = np.random.RandomState(seed)
+    bg_pts = np.asarray(params.background.means)
+    veh_local = np.asarray(params.rigid.gauss.means)
+    F, C = meta["n_frames"], meta["n_cams"]
+    lidar_pts, lidar_org = [], []
+    n_lidar = min(n_lidar, bg_pts.shape[0])
+    for f in range(F):
+        sel = rng.choice(bg_pts.shape[0], n_lidar, replace=False)
+        pts = bg_pts[sel] + rng.randn(n_lidar, 3).astype(np.float32) * 0.02
+        vsel = rng.choice(veh_local.shape[0],
+                          min(n_lidar // 8, veh_local.shape[0]),
+                          replace=False)
+        T = meta["veh_poses"][f]
+        vp = veh_local[vsel] @ T[:3, :3].T + T[:3, 3] \
+            + rng.randn(len(vsel), 3).astype(np.float32) * 0.02
+        pts = np.concatenate([pts, vp]).astype(np.float32)
+        org = meta["ego"][f, :3, 3][None].repeat(pts.shape[0], 0)
+        lidar_pts.append(pts)
+        lidar_org.append(org.astype(np.float32))
+
+    dyn = veh_masks.copy()
+    instances = [InstanceAnn(
+        iid="0", class_name="vehicle", size=meta["veh_size"],
+        poses=meta["veh_poses"], frame_valid=np.ones(F, bool))]
+    return SceneData(
+        images=images,
+        intrinsics=np.tile(meta["K"][None], (C, 1, 1)),
+        cam_to_worlds=meta["cam_to_worlds"],
+        sky_masks=sky_masks, dynamic_masks=dyn,
+        human_masks=np.zeros_like(dyn), vehicle_masks=veh_masks,
+        lidar_points=lidar_pts, lidar_origins=lidar_org,
+        instances=instances)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--n_bg", type=int, default=200_000)
+    ap.add_argument("--n_veh", type=int, default=20_000)
+    ap.add_argument("--budget", type=int, default=1 << 20)
+    ap.add_argument("--out", default="out/self_consistency")
+    ap.add_argument("--test_stride", type=int, default=8)
+    args = ap.parse_args()
+
+    from emd_tpu.data.seeding import build_scene_params
+    from emd_tpu.eval.harness import do_evaluation
+    from emd_tpu.train.loop import LoopConfig, fit_scene
+    from emd_tpu.train.scene_trainer import SceneTrainConfig
+    from emd_tpu.scene.scene_graph import SceneConfig
+
+    t0 = time.time()
+    params, aux, meta = build_gt_scene(
+        n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
+        width=args.width, height=args.height)
+    print("rendering GT ...", flush=True)
+    images, sky_masks, veh_masks = render_gt(params, aux, meta,
+                                             args.budget)
+    print(f"GT rendered in {time.time() - t0:.0f}s "
+          f"(mean rgb {images.mean():.3f}, sky {sky_masks.mean():.2f}, "
+          f"veh {veh_masks.mean():.3f})", flush=True)
+    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks)
+
+    cfg = SceneTrainConfig(scene=SceneConfig(budget=args.budget))
+    loop = LoopConfig(max_steps=args.steps, refine_start=500,
+                      refine_interval=400, refine_stop=args.steps * 3 // 4,
+                      reset_opacity_interval=args.steps // 3,
+                      eval_interval=10 ** 9, ckpt_interval=10 ** 9,
+                      log_interval=100, downscale_times=1,
+                      double_steps=max(1, args.steps // 8),
+                      test_stride=args.test_stride)
+    os.makedirs(args.out, exist_ok=True)
+    state = fit_scene(scene, args.out, cfg=cfg, loop=loop)
+
+    from emd_tpu.data.batches import BatchSource
+    src = BatchSource(scene, test_stride=args.test_stride)
+    res = do_evaluation(state.params, state.aux, cfg.scene, src, args.out,
+                        step=args.steps)
+    print(json.dumps({"gate": "self_consistency",
+                      "test_psnr": res.get("test", {}).get("psnr"),
+                      "train_psnr": res.get("train", {}).get("psnr"),
+                      "steps": args.steps,
+                      "wall_s": round(time.time() - t0, 1)}))
+
+
+if __name__ == "__main__":
+    main()
