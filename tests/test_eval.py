@@ -105,3 +105,27 @@ def test_render_trajectory_and_video(tmp_path):
     save_video(renders, out, fps=4)
     assert ((tmp_path / "traj.mp4").exists()
             or (tmp_path / "traj.gif").exists())
+
+
+def test_orbit_report(tmp_path):
+    """Standalone HTML viewer: frames for every (layer, view, time) key
+    embedded, scrubber HTML well-formed."""
+    import json
+    import re
+    from emd_tpu.data import build_scene_params, make_synthetic_scene
+    from emd_tpu.eval.orbit_report import write_orbit_report
+    from emd_tpu.scene import SceneConfig
+
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=40,
+                                    height=32, n_lidar=300)
+    params, aux = build_scene_params(scene, n_lidar=200, n_random=100,
+                                     sky_resolution=16)
+    out = str(tmp_path / "report.html")
+    write_orbit_report(params, aux, SceneConfig(budget=1 << 16), scene,
+                       out, n_views=2, n_times=2, width=40, height=32)
+    html = open(out).read()
+    m = re.search(r"const frames = (\{.*?\});\n", html, re.S)
+    frames = json.loads(m.group(1))
+    assert len(frames) == 3 * 2 * 2          # layers x views x times
+    assert all(len(v) > 100 for v in frames.values())
+    assert "input id=\"t\"" in html and "select id=\"layer\"" in html

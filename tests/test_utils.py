@@ -56,3 +56,27 @@ def test_metric_logger(tmp_path):
     line = ml.line(5, 100)
     assert "psnr" in line and "eta" in line
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_backup_and_import_object(tmp_path):
+    from emd_tpu.utils.backup import backup_run, import_object
+    import json, os, zipfile
+
+    backup_run(str(tmp_path), config={"steps": 5, "flavor": "scene"})
+    b = tmp_path / "backup"
+    assert (b / "config.json").exists()
+    assert json.loads((b / "config.json").read_text())["steps"] == 5
+    git = json.loads((b / "git_state.json").read_text())
+    assert len(git["commit"]) == 40
+    with zipfile.ZipFile(b / "code.zip") as z:
+        names = z.namelist()
+    assert any(n.endswith("raster/binning.py") for n in names)
+    assert any(n.endswith("native/knn.cpp") for n in names)
+
+    # import_str-style registry (misc.py import_str)
+    fn = import_object("emd_tpu.train.losses:l1")
+    import emd_tpu.train.losses as L
+    assert fn is L.l1
+    cls = import_object("emd_tpu.scene.sky.SkyCubemap")
+    from emd_tpu.scene.sky import SkyCubemap
+    assert cls is SkyCubemap

@@ -28,6 +28,9 @@ def main():
                              "change_lane_left", "change_lane_right",
                              "s_curve"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--report", action="store_true",
+                    help="write a standalone interactive HTML viewer "
+                         "(camera x time x layer scrubbers)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +80,13 @@ def main():
         save_video(renders, os.path.join(args.out,
                                          f"{args.trajectory}.mp4"))
         print(f"wrote {args.trajectory} video")
+
+    if args.report:
+        from emd_tpu.eval.orbit_report import write_orbit_report
+        path = write_orbit_report(params, aux, cfg, scene,
+                                  os.path.join(args.out, "report.html"),
+                                  step=int(step))
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -81,6 +81,11 @@ def main():
                            downscale=args.downscale)
 
     from emd_tpu.utils import config_from_files
+    from emd_tpu.utils.backup import backup_run
+
+    # run provenance: resolved args + git state + code snapshot
+    # (the reference's code/config backup in tools/train.py)
+    backup_run(args.out, config=vars(args))
 
     if args.flavor == "s3":
         coarse = args.coarse_iters
