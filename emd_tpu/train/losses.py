@@ -52,7 +52,12 @@ def ssim(pred: jax.Array, gt: jax.Array, window: int = 11,
     sigma_g = blur(gt * gt) - mu_g * mu_g
     sigma_pg = blur(pred * gt) - mu_pg
     num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
-    den = (mu_p ** 2 + mu_g ** 2 + c1) * (sigma_p + sigma_g + c2)
+    # exact arithmetic keeps den >= c1*c2 > 0 (true variances are >= 0);
+    # only catastrophic cancellation in blur(x^2) - mu^2 on HDR pixels
+    # can push it to <= 0, which turned one pixel into -inf and the mean
+    # SSIM with it — guard with the same positive floor
+    den = (mu_p ** 2 + mu_g ** 2 + c1) \
+        * jnp.maximum(sigma_p + sigma_g + c2, 0.5 * c2)
     return (num / den).mean()
 
 

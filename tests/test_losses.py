@@ -53,3 +53,20 @@ def test_safe_bce_mask():
     m = jnp.array([1.0, 0.0])
     got = losses.safe_bce(x, gt, 0.01, mask=m)
     np.testing.assert_allclose(float(got), float(-jnp.log(0.8)), rtol=1e-5)
+
+
+def test_ssim_finite_on_hdr_inputs():
+    """HDR pixels cancel catastrophically in blur(x^2) - mu^2; the
+    denominator floor keeps SSIM finite (a training render hit -inf)."""
+    import numpy as np
+    from emd_tpu.train.losses import ssim, ssim_loss
+
+    rng = np.random.RandomState(0)
+    pred = rng.rand(32, 32, 3).astype(np.float32)
+    pred[5:8, 5:8] = 3.0e4                     # exploded HDR region
+    gt = rng.rand(32, 32, 3).astype(np.float32)
+    v = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    assert np.isfinite(v)
+    g = jax.grad(lambda p: ssim_loss(p, jnp.asarray(gt)))(
+        jnp.asarray(pred))
+    assert bool(jnp.all(jnp.isfinite(g)))
