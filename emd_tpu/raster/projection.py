@@ -62,7 +62,9 @@ def project_gaussians(
     K: jax.Array,            # (3, 3) intrinsics
     width: int,
     height: int,
-    near: float = 0.01,
+    near: float = 0.2,   # diff_gauss preprocessCUDA hard-culls
+    #                      p_view.z <= 0.2; the EWA linearization is
+    #                      meaningless for splats at the camera plane
     far: float = 1e10,
     antialiased: bool = False,
     radius_clip: float = 0.0,

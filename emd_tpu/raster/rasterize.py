@@ -54,12 +54,18 @@ def expand_instances(packed: jax.Array, binning: Binning,
     chip (strided columns), which sank two earlier formulations of this
     backward (inverse-permutation gather and dest-map gather).
 
-    `n_rows` (static) is the count of packed rows whose cotangents can be
-    nonzero — rows beyond it are structural zeros (absent features, the
-    16-row DMA padding), so the backward sorts/reduces only the first
-    n_rows and fills the rest with zeros. The forward always expands all
-    16 rows (the kernel's DMA layout needs them)."""
-    return jnp.take(packed, binning.gid, axis=1)
+    `n_rows` (static) is the count of packed rows that can be nonzero —
+    rows beyond it are structural zeros (absent features, the 16-row DMA
+    padding). The forward gathers only those rows and broadcasts zeros
+    for the rest (same (16, M_pad) output, ~n_rows/16 of the gather
+    traffic); the backward sorts/reduces only the first n_rows."""
+    expanded = jnp.take(packed[:n_rows], binning.gid, axis=1)
+    if n_rows == packed.shape[0]:
+        return expanded
+    return jnp.concatenate([
+        expanded,
+        jnp.zeros((packed.shape[0] - n_rows, binning.gid.shape[0]),
+                  packed.dtype)], axis=0)
 
 
 def _expand_fwd(packed, binning, n_rows):

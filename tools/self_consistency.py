@@ -60,6 +60,13 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
     rw = kinds == 3
     pts[rw] = np.stack([x[rw], np.full(rw.sum(), 9.0),
                         rng.uniform(0, 6, rw.sum())], 1)
+    # carve a corridor around the camera path: splats whose footprint
+    # crosses the near plane render as screen-filling smears (real
+    # captures never have returns at the lens either)
+    cam_y, cam_z = 0.0, 1.6
+    d2 = (pts[:, 1] - cam_y) ** 2 + (pts[:, 2] - cam_z) ** 2
+    on_path = (d2 < 2.2 ** 2) & (pts[:, 0] > -5.0)
+    pts[on_path, 1] += np.where(pts[on_path, 1] >= 0, 2.5, -2.5)
     colors = np.clip(0.35 + 0.3 * np.sin(pts * [[0.6, 1.2, 0.9]])
                      + 0.05 * rng.randn(n_bg, 3), 0, 1).astype(np.float32)
     bg = empty_params(n_bg, sh_bases=16)
@@ -161,9 +168,9 @@ def render_gt(params, aux, meta, budget):
     w, h = meta["width"], meta["height"]
     K = meta["K"]
 
-    def one(c2w, frame, img_idx, weights):
+    def one(w2c, frame, img_idx, weights):
         cam = make_camera(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
-                          jnp.asarray(c2w), w, h)
+                          jnp.asarray(w2c), w, h)
         out = render_scene(params, aux, cfg, cam, frame, img_idx,
                            jnp.asarray(10_000), class_weights=weights)
         return out.rgb, out.raster.alpha
@@ -177,10 +184,11 @@ def render_gt(params, aux, meta, budget):
     veh_masks = np.zeros((F, C, h, w), bool)
     for f in range(F):
         for c in range(C):
-            rgb, alpha = jit_full(meta["cam_to_worlds"][f, c],
-                                  jnp.asarray(f), jnp.asarray(f * C + c))
-            _, valpha = jit_veh(meta["cam_to_worlds"][f, c],
-                                jnp.asarray(f), jnp.asarray(f * C + c))
+            w2c = np.linalg.inv(meta["cam_to_worlds"][f, c])
+            rgb, alpha = jit_full(w2c, jnp.asarray(f),
+                                  jnp.asarray(f * C + c))
+            _, valpha = jit_veh(w2c, jnp.asarray(f),
+                                jnp.asarray(f * C + c))
             images[f, c] = np.clip(np.asarray(rgb), 0, 1)
             sky_masks[f, c] = np.asarray(alpha) < 0.5
             veh_masks[f, c] = np.asarray(valpha) > 0.5
