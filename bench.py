@@ -80,7 +80,8 @@ def main():
     params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
-    cfg = TrainConfig(budget=(3 << 19))  # 1.5M: ~1.25x the measured 1.2M instances
+    cfg = TrainConfig(budget=(23 << 16))  # 1.507M: 1.25x the measured
+    #                                       1,202,778 instances
 
     def loss_fn(params):
         out = render_params(params, alive, cam, jnp.ones((16,)), cfg)
@@ -92,10 +93,15 @@ def main():
     # so timing un-consumed dispatches measures dispatch, not compute.)
     def step(params):
         v, g = jax.value_and_grad(loss_fn)(params)
-        bumped = jax.tree.map(lambda p, gg: p + 0.0 * gg, params, g)
+        # chain through one UPDATED leaf, but consume a scalar from every
+        # gradient buffer so no part of the backward can be dead-code
+        # eliminated; donation avoids copying the rest of the tree
+        consume = sum(jnp.ravel(l)[0]
+                      for l in jax.tree_util.tree_leaves(g)) + v
+        bumped = params._replace(means=params.means + 0.0 * consume)
         return bumped, v
 
-    f = jax.jit(step)
+    f = jax.jit(step, donate_argnums=0)
     params2, v = f(params)   # compile
     _ = float(v)             # sync
 

@@ -141,8 +141,16 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                  dataset-convention extrinsics, 4-wide lidar rows
                  (x y z intensity) in the ego frame with ray origins at
                  the sensor;
-      - "auto":  sniff — 4-value intrinsics = emd; otherwise waymo,
-                 or kitti when the lidar rows are 4 wide."""
+      - "nuscenes" / "pandaset": per-frame per-camera cam-to-world
+                 files `extrinsics/{frame:03d}_{cam}.txt` (dataset
+                 convention), per-frame `lidar_pose/{frame:03d}.txt`
+                 lidar-to-world with 4-wide (nuscenes) / 5-wide
+                 (pandaset, + laser id) lidar rows in the sensor frame
+                 (nuscenes_sourceloader.py:74-110,360-400,
+                 pandaset_sourceloader.py:96-146,395-415);
+      - "auto":  sniff — 4-value intrinsics = emd; per-frame extrinsics
+                 files = nuscenes-style; otherwise waymo, or kitti when
+                 the lidar rows are 4 wide."""
     import cv2
 
     img_dir = os.path.join(scene_dir, "images")
@@ -191,23 +199,50 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
         intr.append(K)
     intrinsics = np.stack(intr)
 
+    ex_dir = os.path.join(scene_dir, "extrinsics")
+    per_frame_ext = os.path.exists(
+        os.path.join(ex_dir, f"{frames[0]:03d}_{cams[0]}.txt"))
     if layout == "auto":
-        layout = "emd" if intr_len <= 4 else "waymo"
+        if per_frame_ext:
+            layout = "nuscenes"
+        else:
+            layout = "emd" if intr_len <= 4 else "waymo"
 
-    cam2ego = np.stack([
-        np.loadtxt(os.path.join(scene_dir, "extrinsics",
-                                f"{c}.txt")).reshape(4, 4)
-        for c in cams]).astype(np.float32)
-    if layout in ("waymo", "kitti"):
-        cam2ego = cam2ego @ OPENCV2DATASET[None]
-    ego_poses = np.stack([
-        np.loadtxt(os.path.join(scene_dir, "ego_pose",
-                                f"{f:03d}.txt")).reshape(4, 4)
-        for f in frames]).astype(np.float32)
-    # rebase to first ego pose
-    base_inv = np.linalg.inv(ego_poses[0])
-    ego_poses = base_inv[None] @ ego_poses
-    cam_to_worlds = np.einsum("fij,cjk->fcik", ego_poses, cam2ego)
+    if layout in ("nuscenes", "pandaset"):
+        # per-frame cam-to-world files; the world is rebased to the
+        # first ego pose when one exists, else to camera 0's first pose
+        # (nuscenes aligns to camera_front_start)
+        raw_c2w = np.stack([np.stack([
+            np.loadtxt(os.path.join(ex_dir, f"{f:03d}_{c}.txt")
+                       ).reshape(4, 4)
+            for c in cams]) for f in frames]).astype(np.float32)
+        ego_dir = os.path.join(scene_dir, "ego_pose")
+        if os.path.isdir(ego_dir):
+            ego_poses = np.stack([
+                np.loadtxt(os.path.join(ego_dir, f"{f:03d}.txt")
+                           ).reshape(4, 4)
+                for f in frames]).astype(np.float32)
+            base_inv = np.linalg.inv(ego_poses[0])
+            ego_poses = base_inv[None] @ ego_poses
+        else:
+            base_inv = np.linalg.inv(raw_c2w[0, 0])
+            ego_poses = np.einsum("ij,fjk->fik", base_inv, raw_c2w[:, 0])
+        cam_to_worlds = np.einsum(
+            "ij,fcjk,kl->fcil", base_inv, raw_c2w, OPENCV2DATASET)
+    else:
+        cam2ego = np.stack([
+            np.loadtxt(os.path.join(ex_dir, f"{c}.txt")).reshape(4, 4)
+            for c in cams]).astype(np.float32)
+        if layout in ("waymo", "kitti"):
+            cam2ego = cam2ego @ OPENCV2DATASET[None]
+        ego_poses = np.stack([
+            np.loadtxt(os.path.join(scene_dir, "ego_pose",
+                                    f"{f:03d}.txt")).reshape(4, 4)
+            for f in frames]).astype(np.float32)
+        # rebase to first ego pose
+        base_inv = np.linalg.inv(ego_poses[0])
+        ego_poses = base_inv[None] @ ego_poses
+        cam_to_worlds = np.einsum("fij,cjk->fcik", ego_poses, cam2ego)
 
     def maybe_masks(name):
         d = os.path.join(scene_dir, name)
@@ -225,24 +260,34 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
 
     lidar_pts, lidar_org = None, None
     lidar_dir = os.path.join(scene_dir, "lidar")
+    lpose_dir = os.path.join(scene_dir, "lidar_pose")
     if load_lidar and os.path.isdir(lidar_dir):
         lidar_pts, lidar_org = [], []
-        lidar_w = 4 if layout == "kitti" else None
+        lidar_w = 4 if layout in ("kitti", "nuscenes") else \
+            5 if layout == "pandaset" else None
         for fi, f in enumerate(frames):
             path = os.path.join(lidar_dir, f"{f:03d}.bin")
             raw = np.fromfile(path, dtype=np.float32)
             if lidar_w is None:
                 lidar_w = _sniff_lidar_width(raw)
-            if lidar_w == 4:
-                # x y z intensity in the ego/lidar frame, pseudo ray
-                # origins at the sensor (kitti_sourceloader.py:389-420)
-                raw = raw.reshape(-1, 4)
+            if lidar_w == 4 and raw.size % 4:
+                lidar_w = 5           # pandaset rows carry a laser id
+            if lidar_w in (4, 5):
+                # x y z intensity (+ laser id) in the sensor/ego frame,
+                # pseudo ray origins at the sensor
+                # (kitti_sourceloader.py:389-420; nuscenes :384-400)
+                raw = raw.reshape(-1, lidar_w)
                 pts_ego = raw[:, 0:3]
                 org_ego = np.zeros_like(pts_ego)
             else:
                 raw = raw.reshape(-1, lidar_w)
                 org_ego, pts_ego = raw[:, 0:3], raw[:, 3:6]
-            T = ego_poses[fi]
+            lpose = os.path.join(lpose_dir, f"{f:03d}.txt")
+            if os.path.exists(lpose):
+                # per-frame lidar-to-world (nuscenes/pandaset), rebased
+                T = base_inv @ np.loadtxt(lpose).reshape(4, 4)
+            else:
+                T = ego_poses[fi]
             pts = pts_ego @ T[:3, :3].T + T[:3, 3]
             org = org_ego @ T[:3, :3].T + T[:3, 3]
             lidar_pts.append(pts.astype(np.float32))

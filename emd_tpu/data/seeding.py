@@ -269,11 +269,11 @@ def _seed_smpl(key, scene: SceneData, sp: dict, rigid_cfg, smpl_template,
         sh_bases=4, seed=seed)
     if smpl_template is not None:
         # on-mesh orientation/scale/opacity override the generic KNN init
-        quats = np.asarray(g.quats)
+        quats = np.array(g.quats)
         quats[:total] = np.concatenate(q_l)
-        scales = np.asarray(g.log_scales)
+        scales = np.array(g.log_scales)
         scales[:total] = np.concatenate(s_l)
-        opac = np.asarray(g.logit_opacities)
+        opac = np.array(g.logit_opacities)
         opac[:total] = np.concatenate(o_l)
         g = g._replace(quats=jnp.asarray(quats),
                        log_scales=jnp.asarray(scales),

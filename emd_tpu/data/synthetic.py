@@ -221,7 +221,12 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
     (kitti_sourceloader.py): 9-value intrinsics (zero distortion),
     DATASET-convention extrinsics (x front / y left / z up), 4-wide
     lidar rows (x y z intensity) in the ego frame — both a loader-path
-    test fixture and a converter for emd-native scenes."""
+    test fixture and a converter for emd-native scenes.
+
+    `layout="nuscenes"` emits the per-frame dialect
+    (nuscenes_sourceloader.py): `extrinsics/{f:03d}_{c}.txt` per-frame
+    cam-to-world in the dataset frame, `lidar_pose/{f:03d}.txt`
+    lidar-to-world, 4-wide sensor-frame lidar rows."""
     import cv2
 
     from .scene_data import OPENCV2DATASET
@@ -241,13 +246,25 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
     for c in range(c_):
         K = scene.intrinsics[c]
         vals = [K[0, 0], K[1, 1], K[0, 2], K[1, 2]]
-        if layout == "kitti":
+        if layout in ("kitti", "nuscenes"):
             vals += [0.0] * 5                    # k1 k2 p1 p2 k3
         np.savetxt(os.path.join(out_dir, "intrinsics", f"{c}.txt"), vals)
+        if layout == "nuscenes":
+            continue                             # per-frame files below
         c2e = cam2ego[c]
         if layout == "kitti":
             c2e = c2e @ np.linalg.inv(OPENCV2DATASET)
         np.savetxt(os.path.join(out_dir, "extrinsics", f"{c}.txt"), c2e)
+    if layout == "nuscenes":
+        os.makedirs(os.path.join(out_dir, "lidar_pose"), exist_ok=True)
+        inv_cv = np.linalg.inv(OPENCV2DATASET)
+        for f in range(f_):
+            for c in range(c_):
+                np.savetxt(
+                    os.path.join(out_dir, "extrinsics", f"{f:03d}_{c}.txt"),
+                    scene.cam_to_worlds[f, c] @ inv_cv)
+            np.savetxt(os.path.join(out_dir, "lidar_pose", f"{f:03d}.txt"),
+                       ego_poses[f])
     for f in range(f_):
         np.savetxt(os.path.join(out_dir, "ego_pose", f"{f:03d}.txt"),
                    ego_poses[f])
@@ -279,7 +296,7 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
             pts = scene.lidar_points[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             org = scene.lidar_origins[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             n = pts.shape[0]
-            if layout == "kitti":
+            if layout in ("kitti", "nuscenes"):
                 rows = np.zeros((n, 4), np.float32)
                 rows[:, 0:3] = pts
             else:

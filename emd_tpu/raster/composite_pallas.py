@@ -142,7 +142,7 @@ def _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
-                ntx):
+                ntx, with_feat):
     t = pl.program_id(0)
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
@@ -176,9 +176,10 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
         dep = dep + jnp.dot(terms["depth"].T, w,
                             preferred_element_type=jnp.float32,
                             precision=HP)
-        fea = fea + jnp.dot(terms["feat"].T, w,
-                            preferred_element_type=jnp.float32,
-                            precision=HP)
+        if with_feat:           # static: absent features skip the matmul
+            fea = fea + jnp.dot(terms["feat"].T, w,
+                                preferred_element_type=jnp.float32,
+                                precision=HP)
         s = s + cum_in[chunk - 1:chunk, :]
         return c + 1, s, rgb, dep, fea
 
@@ -208,7 +209,8 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
-                dinst_ref, buf, gbuf, sem, wsem, *, chunk, ntx):
+                dinst_ref, buf, gbuf, sem, wsem, *, chunk, ntx,
+                with_feat):
     t = pl.program_id(0)
     start = offs_ref[t]
     nchunks = (offs_ref[t + 1] - start) // chunk
@@ -264,9 +266,11 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         w = alpha * t_g
         wbar = jnp.dot(terms["colors"], grgb,
                        preferred_element_type=jnp.float32, precision=HP) \
-            + jnp.dot(terms["feat"], gfea,
-                      preferred_element_type=jnp.float32, precision=HP) \
             + terms["depth"] * gdep                         # (C, NPX)
+        if with_feat:
+            wbar = wbar + jnp.dot(terms["feat"], gfea,
+                                  preferred_element_type=jnp.float32,
+                                  precision=HP)
         ww = w * wbar
         # suffix-exclusive sum along C: chunk total - inclusive
         ww_in = _inclusive_scan0(ww, chunk)
@@ -290,8 +294,9 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                     precision=HP),
             rsum(terms["g"] * abar),                         # d opacity
             rsum(w * gdep),                                  # d depth
-            jnp.dot(w, gfea.T, preferred_element_type=jnp.float32,
-                    precision=HP),                           # d feature
+            (jnp.dot(w, gfea.T, preferred_element_type=jnp.float32,
+                     precision=HP) if with_feat
+             else jnp.zeros((chunk, 3), jnp.float32)),       # d feature
             jnp.zeros((chunk, 3), jnp.float32),
         ], axis=1)                                           # (C, 16)
         gslot = jax.lax.rem(k, 2)
@@ -320,14 +325,20 @@ class TileImage(NamedTuple):
     tiles: jax.Array
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def composite_tiles(inst_data: jax.Array, tile_offsets: jax.Array,
-                    ntx: int, nty: int, interpret: bool = False) -> jax.Array:
-    out, _ = _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret)
+                    ntx: int, nty: int, interpret: bool = False,
+                    with_feat: bool = True) -> jax.Array:
+    """`with_feat` (static): False skips the feature-channel matmuls in
+    both kernels (~40% of the per-chunk MXU work when only rgb/depth are
+    rendered); the feat output rows come back zero."""
+    out, _ = _composite_fwd_call(inst_data, tile_offsets, ntx, nty,
+                                 interpret, with_feat)
     return out
 
 
-def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
+def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
+                        with_feat=True):
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -346,7 +357,8 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, ntx=ntx),
+        functools.partial(_fwd_kernel, chunk=chunk, ntx=ntx,
+                          with_feat=with_feat),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, 8, NPX), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
@@ -356,13 +368,14 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret):
     )(tile_offsets, inst_data)
 
 
-def _composite_fwd(inst_data, tile_offsets, ntx, nty, interpret):
+def _composite_fwd(inst_data, tile_offsets, ntx, nty, interpret,
+                   with_feat):
     out, meta = _composite_fwd_call(inst_data, tile_offsets, ntx, nty,
-                                    interpret)
+                                    interpret, with_feat)
     return out, (inst_data, tile_offsets, out, meta)
 
 
-def _composite_bwd(ntx, nty, interpret, res, gout):
+def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
     inst_data, tile_offsets, out, meta = res
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
@@ -387,7 +400,8 @@ def _composite_bwd(ntx, nty, interpret, res, gout):
         ],
     )
     dinst_raw = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, ntx=ntx),
+        functools.partial(_bwd_kernel, chunk=chunk, ntx=ntx,
+                          with_feat=with_feat),
         out_shape=jax.ShapeDtypeStruct(inst_data.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

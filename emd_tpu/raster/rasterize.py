@@ -171,7 +171,8 @@ def rasterize(
                             13 if features is not None else 10)
 
     ntx, nty = num_tiles(cam.width, cam.height, TILE)
-    tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret)
+    tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret,
+                            features is not None)
     rgb, depth, alpha, feat = tiles_to_image(tiles, ntx, nty, cam.width,
                                              cam.height)
     return RasterOut(rgb=rgb, depth=depth, alpha=alpha, feat=feat,

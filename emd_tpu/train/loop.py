@@ -76,6 +76,7 @@ def fit_scene(
     eval_fn=None,
     mesh=None,
     resume: str | None = None,
+    smpl_template: str | None = None,
 ) -> SceneTrainState:
     """Train the scene-graph model on a scene; returns the final state.
 
@@ -94,7 +95,8 @@ def fit_scene(
 
     if params_aux is None:
         logger.info("seeding scene graph from data ...")
-        params, aux = build_scene_params(scene, seed=loop.seed)
+        params, aux = build_scene_params(scene, seed=loop.seed,
+                                         smpl_template=smpl_template)
     else:
         params, aux = params_aux
     state = create_scene_train_state(params, aux)

@@ -196,3 +196,47 @@ def test_kitti_layout_roundtrip(tmp_path, synth):
     c = load_scene(kit, layout="kitti")              # explicit
     np.testing.assert_allclose(c.cam_to_worlds, b.cam_to_worlds,
                                atol=1e-6)
+
+
+def test_nuscenes_layout_roundtrip(tmp_path, synth):
+    """Per-frame-extrinsics dialect (nuscenes/pandaset): cam-to-world
+    files per (frame, cam) + lidar_pose, auto-sniffed, loads into the
+    same SceneData as the native layout."""
+    scene, truth = synth
+    emd = str(tmp_path / "emd")
+    nus = str(tmp_path / "nus")
+    write_scene_dir(scene, emd, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"])
+    write_scene_dir(scene, nus, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"], layout="nuscenes")
+    a = load_scene(emd)
+    b = load_scene(nus)                              # auto-sniffed
+    np.testing.assert_allclose(a.cam_to_worlds, b.cam_to_worlds,
+                               atol=1e-4)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+    np.testing.assert_allclose(a.lidar_points[2], b.lidar_points[2],
+                               atol=1e-3)
+    assert len(b.instances) == len(a.instances)
+
+
+def test_build_scene_params_with_real_smpl_asset(tmp_path, synth):
+    """The real-asset SMPL path: on-mesh init (one gaussian per vertex,
+    normal-aligned quats), betas-shaped per-instance skeleton."""
+    from tests.test_smpl import _fake_smpl_npz
+
+    scene, _ = synth
+    path = str(tmp_path / "smpl.npz")
+    v, faces = _fake_smpl_npz(path)
+    params, aux = build_scene_params(scene, n_lidar=300, n_random=200,
+                                     sky_resolution=16,
+                                     smpl_template=path)
+    assert params.smpl is not None
+    n_alive = int(np.sum(np.asarray(aux.smpl_alive)))
+    assert n_alive == v.shape[0]               # one gaussian per vertex
+    # on-mesh init: the first instance's canonical means ARE the mesh
+    means = np.asarray(params.smpl.rigid.gauss.means)[:v.shape[0]]
+    np.testing.assert_allclose(means, v, atol=1e-5)
+    # quats normalized (normal-aligned frames)
+    q = np.asarray(params.smpl.rigid.gauss.quats)[:v.shape[0]]
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)
+    assert aux.smpl_aux.template.rest_joints.shape[0] == 1

@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="run full evaluation after training")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--layout", type=str, default="auto",
+                    choices=["auto", "emd", "waymo", "kitti", "nuscenes",
+                             "pandaset"],
+                    help="processed-directory dialect (see load_scene)")
+    ap.add_argument("--smpl_template", type=str, default=None,
+                    help="real SMPL model file (npz/pkl) for on-mesh "
+                         "pedestrian init; procedural skeleton otherwise")
     ap.add_argument("--config", type=str, nargs="*", default=None,
                     help="YAML config file(s), e.g. configs/omnire.yaml")
     ap.add_argument("--set", dest="overrides", type=str, nargs="*",
@@ -78,6 +85,7 @@ def main():
     else:
         assert args.scene_dir, "--scene_dir or --synthetic required"
         scene = load_scene(args.scene_dir, cams=args.cams,
+                           layout=args.layout,
                            downscale=args.downscale)
 
     from emd_tpu.utils import config_from_files
@@ -157,7 +165,8 @@ def main():
         mesh = make_mesh(n_data=args.data_parallel,
                          n_gauss=args.gauss_parallel)
     state = fit_scene(scene, args.out, cfg, loop, mesh=mesh,
-                      resume=args.resume)
+                      resume=args.resume,
+                      smpl_template=args.smpl_template)
 
     if args.eval:
         src = BatchSource(scene, test_stride=args.test_stride)
