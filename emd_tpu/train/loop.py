@@ -50,6 +50,13 @@ class LoopConfig:
     ckpt_interval: int = 15_000
     test_stride: int = 10
     seed: int = 0
+    # deferred metric fetch: process step metrics `metric_lag` steps late
+    # so the per-step host round-trip (30 ms through a TPU relay) overlaps
+    # device compute instead of serializing with it. The error-buffer
+    # update and the NaN abort lag by the same amount (the sampler is an
+    # EMA anyway); 0 = synchronous. Pending metrics are drained before
+    # checkpoints so resume stays bit-identical.
+    metric_lag: int = 0
 
 
 def _refresh_knn(state):
@@ -130,6 +137,32 @@ def fit_scene(
                                   start_step=start_step)
 
     overflow_streak = resume_extras.get("overflow_streak", 0)
+    pending = []         # (step, view_idx, metrics-on-device) FIFO
+
+    def process(pstep, vi, m):
+        nonlocal overflow_streak
+        m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            # hard NaN/Inf abort, like the reference (tools/train.py:266-271)
+            raise FloatingPointError(
+                f"non-finite loss at step {pstep}: "
+                f"{ {k: float(v) for k, v in m.items()} }")
+        source.report_error(vi, float(m["rgb"]))
+        metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
+        if bool(m["overflow"]):
+            overflow_streak += 1
+            logger.warning("step %d: instance budget overflow (%d/3)",
+                           pstep, overflow_streak)
+        else:
+            overflow_streak = 0
+        return bool(m["overflow"]) and overflow_streak >= 3
+
+    def drain():
+        regrow = False
+        while pending:
+            regrow |= bool(process(*pending.pop(0)))
+        return regrow
+
     for step in range(start_step, loop.max_steps):
         if loop.downscale_times > 0:
             level = max(0, loop.downscale_times - step // loop.double_steps)
@@ -145,31 +178,21 @@ def fit_scene(
         vi, f, c, batch = source.next_train("scene")
         state, m = scene_train_step(state, batch, cfg, scene_scale)
         # ONE host fetch for all step metrics (each float() round-trips
-        # the remote device; fetching per-metric dominated step time)
-        m = jax.device_get(m)
-        if not np.isfinite(m["loss"]):
-            # hard NaN/Inf abort, like the reference (tools/train.py:266-271)
-            raise FloatingPointError(
-                f"non-finite loss at step {step}: "
-                f"{ {k: float(v) for k, v in m.items()} }")
-        source.report_error(vi, float(m["rgb"]))
-        metrics_log.update(loss=m["loss"], psnr=m["psnr"], rgb=m["rgb"])
-        if bool(m["overflow"]):
-            overflow_streak += 1
-            logger.warning("step %d: instance budget overflow (%d/3)",
-                           step, overflow_streak)
-            if overflow_streak >= 3:
-                # persistent overflow silently drops instances — regrow
-                # the budget host-side (a static cfg change = one retrace)
-                new_budget = -(-int(cfg.scene.budget * 3 / 2) // 65536) \
-                    * 65536
-                cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
-                    cfg.scene, budget=new_budget))
-                overflow_streak = 0
-                logger.warning("step %d: budget regrown to %d (retrace)",
-                               step, new_budget)
-        else:
+        # the remote device; fetching per-metric dominated step time),
+        # deferred by metric_lag steps so the fetch overlaps compute
+        pending.append((step, vi, m))
+        want_regrow = False
+        while len(pending) > loop.metric_lag:
+            want_regrow |= bool(process(*pending.pop(0)))
+        if want_regrow:
+            # persistent overflow silently drops instances — regrow the
+            # budget host-side (a static cfg change = one retrace)
+            new_budget = -(-int(cfg.scene.budget * 3 / 2) // 65536) * 65536
+            cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+                cfg.scene, budget=new_budget))
             overflow_streak = 0
+            logger.warning("step %d: budget regrown to %d (retrace)",
+                           step, new_budget)
 
         if (loop.refine_start <= step < loop.refine_stop
                 and step % loop.refine_interval == 0):
@@ -183,10 +206,11 @@ def fit_scene(
                          _densify_cfg(), scene_scale,
                          use_screen_cull=use_screen)
             state = _apply_background_refine(state, out)
+            stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                                    jnp.sum(out.alive), out.n_dropped))
             logger.info(
                 "refine@%d[bg]: split %d dup %d culled %d alive %d drop %d",
-                step, int(out.n_split), int(out.n_dup), int(out.n_culled),
-                int(jnp.sum(out.alive)), int(out.n_dropped))
+                step, *map(int, stats))
             if state.params.rigid is not None:
                 key, sub = jax.random.split(key)
                 state = _refine_rigid(state, sub, scene_scale, logger, step,
@@ -216,11 +240,13 @@ def fit_scene(
             eval_fn(state, step)
 
         if step > 0 and step % loop.ckpt_interval == 0:
+            drain()      # resume bit-identity: no un-applied errors
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                 state._replace(step=jnp.asarray(step + 1)), source, key,
                 budget=cfg.scene.budget, overflow_streak=overflow_streak)
 
+    drain()
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.aux, state.step))
     save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
@@ -391,10 +417,11 @@ def _refine_rigid(state, key, scene_scale, logger, step,
             gauss=out.opt.nu[0], embeddings=out.opt.nu[1])))
     dstate = dict(state.dstate)
     dstate["rigid"] = out.dstate
+    stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                            jnp.sum(oob & out.alive), jnp.sum(new_alive)))
     logger.info(
         "refine@%d[rigid]: split %d dup %d culled %d oob %d alive %d",
-        step, int(out.n_split), int(out.n_dup), int(out.n_culled),
-        int(jnp.sum(oob & out.alive)), int(jnp.sum(new_alive)))
+        step, *map(int, stats))
     return state._replace(
         params=new_params,
         aux=new_aux._replace(rigid_alive=new_alive),
@@ -446,10 +473,11 @@ def _refine_node(state, key, name, logger, step, use_screen=False):
         gauss=out.opt.nu[0], embeddings=out.opt.nu[1]))
     dstate = dict(state.dstate)
     dstate[name] = out.dstate
+    stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                            jnp.sum(oob & out.alive), jnp.sum(new_alive)))
     logger.info(
         "refine@%d[%s]: split %d dup %d culled %d oob %d alive %d",
-        step, name, int(out.n_split), int(out.n_dup), int(out.n_culled),
-        int(jnp.sum(oob & out.alive)), int(jnp.sum(new_alive)))
+        step, name, *map(int, stats))
     if name == "deformable":
         new_params = state.params._replace(
             deformable=state.params.deformable._replace(rigid=new_rp))
@@ -567,9 +595,10 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                          _opt_background(state), state.dstate["background"],
                          _densify_cfg(), scene_scale)
             state = _apply_background_refine(state, out)
+            stats = jax.device_get((out.n_split, out.n_dup,
+                                    jnp.sum(out.alive)))
             logger.info("refine@%d[bg]: split %d dup %d alive %d", step,
-                        int(out.n_split), int(out.n_dup),
-                        int(jnp.sum(out.alive)))
+                        *map(int, stats))
             if state.params.rigid is not None:
                 key, sub = jax.random.split(key)
                 state = _refine_rigid(state, sub, scene_scale, logger, step)

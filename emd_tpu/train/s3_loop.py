@@ -149,9 +149,10 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
                     nu=state.opt.nu._replace(gauss=out.opt.nu[0],
                                              embeddings=out.opt.nu[1])),
                 alive=out.alive, dstate=out.dstate)
+            stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                                    jnp.sum(out.alive)))
             logger.info("refine@%d: split %d dup %d culled %d alive %d",
-                        step, int(out.n_split), int(out.n_dup),
-                        int(out.n_culled), int(jnp.sum(out.alive)))
+                        step, *map(int, stats))
 
         if (0 < step < loop.refine_stop
                 and step % loop.reset_opacity_interval == 0):

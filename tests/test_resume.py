@@ -76,3 +76,24 @@ def test_full_ckpt_loads_for_eval():
         np.testing.assert_array_equal(
             np.asarray(d2["params"].background.means),
             np.asarray(state.params.background.means))
+
+
+def test_resume_bit_identical_with_metric_lag():
+    """Deferred metric fetch (metric_lag > 0) drains pending metrics at
+    checkpoints, so resume stays bit-identical with the lag enabled."""
+    import dataclasses
+
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=48,
+                                    height=32, n_lidar=600, seed=0)
+    cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 13,
+                                             interpret=True))
+    loop = dataclasses.replace(_loop(8, ckpt_interval=4), metric_lag=2)
+
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d3:
+        full = fit_scene(scene, d1, cfg, loop)
+        ckpt = os.path.join(d1, "ckpt_000004.npz")
+        resumed = fit_scene(scene, d3, cfg, loop, resume=ckpt)
+        for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

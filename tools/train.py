@@ -59,6 +59,10 @@ def main():
                     choices=["auto", "emd", "waymo", "kitti", "nuscenes",
                              "pandaset"],
                     help="processed-directory dialect (see load_scene)")
+    ap.add_argument("--metric_lag", type=int, default=3,
+                    help="defer per-step metric fetch this many steps so "
+                         "the host round-trip overlaps device compute "
+                         "(0 = synchronous)")
     ap.add_argument("--smpl_template", type=str, default=None,
                     help="real SMPL model file (npz/pkl) for on-mesh "
                          "pedestrian init; procedural skeleton otherwise")
@@ -158,6 +162,7 @@ def main():
         eval_interval=max(100, args.steps // 3),
         ckpt_interval=max(100, args.steps // 2),
         seed=args.seed,
+        metric_lag=args.metric_lag,
     )
     mesh = None
     if args.data_parallel > 0:
