@@ -105,8 +105,7 @@ def split_train_test(num_frames: int, test_stride: int = 10
     idx = np.arange(num_frames)
     if test_stride <= 0:
         return idx, np.array([], np.int64)
-    test = idx[test_stride // 2::test_stride] if False else \
-        idx[idx % test_stride == 0]
+    test = idx[idx % test_stride == 0]
     train = idx[idx % test_stride != 0]
     return train, test
 
