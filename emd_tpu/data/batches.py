@@ -47,6 +47,13 @@ class BatchSource:
         self.depths = None
         self.downscale = 1
         self._pyramid: dict = {}
+        # device-side batch cache: each (level, frame, cam) tuple is
+        # device_put ONCE and re-served (the per-step host->device image
+        # transfer costs ~100 ms through a TPU relay); capped so huge
+        # datasets fall back to streaming
+        self._dev_cache: dict = {}
+        self._dev_bytes = 0
+        self.device_cache_limit = 2 << 30
         if with_depth and scene.lidar_points is not None:
             if depth_mode == "aggregate":
                 from .depth import sparse_depth_maps
@@ -106,31 +113,61 @@ class BatchSource:
                 np.linalg.inv(self.scene.cam_to_worlds[f, c])),
             width=w // d, height=h // d)
 
+    def _level_dev(self, f, c):
+        """Device-resident (rgb, depth, sky, dyn) for the current level."""
+        key = (self.downscale, f, c)
+        hit = self._dev_cache.get(key)
+        if hit is not None:
+            return hit
+        host = self._level(f, c)
+        dev = tuple(jnp.asarray(x) if x is not None else None
+                    for x in host)
+        nbytes = sum(x.nbytes for x in dev if x is not None)
+        if self._dev_bytes + nbytes <= self.device_cache_limit:
+            self._dev_cache[key] = dev
+            self._dev_bytes += nbytes
+        return dev
+
     def _common(self, f, c):
-        rgb, dep, sky, _ = self._level(f, c)
+        rgb, dep, sky, _ = self._level_dev(f, c)
         return dict(
             camera=self.camera(f, c),
-            rgb=jnp.asarray(rgb),
-            depth=jnp.asarray(dep) if dep is not None else None,
-            sky_mask=jnp.asarray(sky) if sky is not None else None,
+            rgb=rgb,
+            depth=dep,
+            sky_mask=sky,
         )
 
     def scene_batch(self, f: int, c: int) -> SceneBatch:
+        # the whole batch is static per (level, view): cache it on device
+        # (every stray jnp.asarray of a scalar/K matrix is a separate
+        # host->device transfer paying full relay latency)
+        key = ("scene", self.downscale, f, c)
+        hit = self._dev_cache.get(key)
+        if hit is not None:
+            return hit
         s = self.scene
         kw = self._common(f, c)
-        dyn = self._level(f, c)[3]
-        return SceneBatch(
+        dyn = self._level_dev(f, c)[3]
+        batch = SceneBatch(
             frame_idx=jnp.asarray(f),
             img_idx=jnp.asarray(f * s.num_cams + c),
-            dynamic_mask=jnp.asarray(dyn) if dyn is not None else None,
+            dynamic_mask=dyn,
             **kw)
+        self._dev_cache[key] = batch
+        return batch
 
     def s3_batch(self, f: int, c: int) -> S3Batch:
+        key = ("s3", self.downscale, f, c)
+        hit = self._dev_cache.get(key)
+        if hit is not None:
+            return hit
         s = self.scene
         kw = self._common(f, c)
         t = f / max(s.num_frames - 1, 1)
-        return S3Batch(t=jnp.asarray(t, jnp.float32),
-                       cam_no=jnp.asarray(min(c, 2)), **kw)
+        batch = S3Batch(t=jnp.asarray(t, jnp.float32),
+                        cam_no=jnp.asarray(min(c, 2)), **kw)
+        self._dev_cache[key] = batch
+        return batch
 
     def next_train(self, kind: str = "scene"):
         vi = self.sampler.sample()
