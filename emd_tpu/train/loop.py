@@ -50,6 +50,11 @@ class LoopConfig:
     ckpt_interval: int = 15_000
     test_stride: int = 10
     seed: int = 0
+    # size the instance budget from a measured probe at startup: render a
+    # few views, read binning.num_instances (exact even when the probe
+    # budget overflows), set budget = 1.3x the max need. The mid-training
+    # overflow regrow still backstops densification growth.
+    auto_budget: bool = True
     # deferred metric fetch: process step metrics `metric_lag` steps late
     # so the per-step host round-trip (30 ms through a TPU relay) overlaps
     # device compute instead of serializing with it. The error-buffer
@@ -129,6 +134,9 @@ def fit_scene(
             cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
                 cfg.scene, budget=resume_extras["budget"]))
         logger.info("resumed from %s at step %d", resume, start_step)
+
+    if loop.auto_budget and start_step == 0:
+        cfg = _autosize_budget(cfg, state, source, scene, logger)
 
     if mesh is not None:
         return _fit_scene_sharded(scene, out_dir, cfg, loop, state,
@@ -628,3 +636,29 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
     save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
                           state, source, key)
     return state
+
+
+def _autosize_budget(cfg, state, source, scene, logger):
+    """Probe a few views and right-size the static instance budget —
+    every budget-sized index op (binning sort/fill/layout, the expand
+    VJP) scales with it, so an oversize default directly costs step
+    time. num_instances is the true total even if the probe overflows."""
+    from ..scene.scene_graph import render_scene
+
+    probe = jax.jit(lambda p, a, cam, f, i: render_scene(
+        p, a, cfg.scene, cam, f, i,
+        jnp.asarray(10 ** 9)).raster.binning.num_instances)
+    frames = sorted({0, scene.num_frames // 2, scene.num_frames - 1})
+    need = 0
+    for f in frames:
+        for c in range(min(scene.num_cams, 2)):
+            b = source.scene_batch(f, c)
+            need = max(need, int(probe(state.params, state.aux, b.camera,
+                                       b.frame_idx, b.img_idx)))
+    new_budget = max(-(-int(need * 1.3) // 65536) * 65536, 1 << 17)
+    if new_budget != cfg.scene.budget:
+        logger.info("auto budget: measured %d instances -> budget %d "
+                    "(was %d)", need, new_budget, cfg.scene.budget)
+        cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+            cfg.scene, budget=new_budget))
+    return cfg

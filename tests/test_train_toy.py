@@ -132,3 +132,34 @@ def test_bench_street_scene_builds():
                     colors, cam, budget=1 << 15, interpret=True)
     assert bool(jnp.all(jnp.isfinite(out.rgb)))
     assert float(out.alpha.mean()) > 0.02  # nonzero coverage (scales with N)
+
+
+def test_auto_budget_rightsizes():
+    import logging
+    import dataclasses
+    from emd_tpu.data import BatchSource, make_synthetic_scene
+    from emd_tpu.data.seeding import build_scene_params
+    from emd_tpu.scene import SceneConfig
+    from emd_tpu.train.loop import _autosize_budget
+    from emd_tpu.train.scene_trainer import (SceneTrainConfig,
+                                             create_scene_train_state)
+
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=48,
+                                    height=32, n_lidar=400)
+    params, aux = build_scene_params(scene, n_lidar=300, n_random=200,
+                                     sky_resolution=16)
+    state = create_scene_train_state(params, aux)
+    src = BatchSource(scene)
+    # grossly oversize probe budget shrinks to measured need
+    cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 20,
+                                             interpret=True))
+    cfg2 = _autosize_budget(cfg, state, src, scene,
+                            logging.getLogger("t"))
+    assert cfg2.scene.budget < cfg.scene.budget
+    assert cfg2.scene.budget >= 1 << 17
+    # severely undersized probe budget still measures the true need
+    cfg3 = SceneTrainConfig(scene=SceneConfig(budget=1 << 17,
+                                              interpret=True))
+    cfg4 = _autosize_budget(cfg3, state, src, scene,
+                            logging.getLogger("t"))
+    assert cfg4.scene.budget == cfg2.scene.budget

@@ -28,9 +28,14 @@ def main():
                                     height=height, n_lidar=40_000)
     params, aux = build_scene_params(scene, n_lidar=150_000,
                                      n_random=100_000)
+    import logging
+    from emd_tpu.train.loop import _autosize_budget
     cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 21))
     state = create_scene_train_state(params, aux)
     src = BatchSource(scene, test_stride=0)
+    cfg = _autosize_budget(cfg, state, src, scene,
+                           logging.getLogger("bench"))
+    print(f"auto budget: {cfg.scene.budget}", flush=True)
     n_total = params.background.capacity
     for blk in (params.rigid, params.deformable, params.smpl):
         if blk is not None:
