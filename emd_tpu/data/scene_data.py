@@ -147,9 +147,21 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                  (pandaset, + laser id) lidar rows in the sensor frame
                  (nuscenes_sourceloader.py:74-110,360-400,
                  pandaset_sourceloader.py:96-146,395-415);
+      - "argoverse" / "nuplan": waymo directory shape, but the dataset
+                 camera frame already IS opencv (x right / y down /
+                 z front — OPENCV2DATASET is the identity,
+                 argoverse_sourceloader.py:62-64,
+                 nuplan_sourceloader.py:30-33) and lidar rows are
+                 ego-frame 4-wide x y z intensity (argoverse,
+                 argoverse_sourceloader.py:397-404) / 6-wide
+                 x y z intensity _ laser_id (nuplan,
+                 nuplan_sourceloader.py:397-414) with pseudo origins
+                 at the sensor;
       - "auto":  sniff — 4-value intrinsics = emd; per-frame extrinsics
                  files = nuscenes-style; otherwise waymo, or kitti when
-                 the lidar rows are 4 wide."""
+                 the lidar rows are 4 wide (argoverse/nuplan are not
+                 auto-detectable from waymo — select them explicitly,
+                 as the reference does via its dataset config)."""
     import cv2
 
     img_dir = os.path.join(scene_dir, "images")
@@ -262,8 +274,9 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     lpose_dir = os.path.join(scene_dir, "lidar_pose")
     if load_lidar and os.path.isdir(lidar_dir):
         lidar_pts, lidar_org = [], []
-        lidar_w = 4 if layout in ("kitti", "nuscenes") else \
-            5 if layout == "pandaset" else None
+        lidar_w = 4 if layout in ("kitti", "nuscenes", "argoverse") else \
+            5 if layout == "pandaset" else \
+            6 if layout == "nuplan" else None
         for fi, f in enumerate(frames):
             path = os.path.join(lidar_dir, f"{f:03d}.bin")
             raw = np.fromfile(path, dtype=np.float32)
@@ -271,10 +284,11 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                 lidar_w = _sniff_lidar_width(raw)
             if lidar_w == 4 and raw.size % 4:
                 lidar_w = 5           # pandaset rows carry a laser id
-            if lidar_w in (4, 5):
-                # x y z intensity (+ laser id) in the sensor/ego frame,
-                # pseudo ray origins at the sensor
-                # (kitti_sourceloader.py:389-420; nuscenes :384-400)
+            if lidar_w in (4, 5, 6):
+                # x y z intensity (+ extras / laser id) in the sensor or
+                # ego frame, pseudo ray origins at the sensor
+                # (kitti_sourceloader.py:389-420; nuscenes :384-400;
+                # argoverse :397-404; nuplan :397-414)
                 raw = raw.reshape(-1, lidar_w)
                 pts_ego = raw[:, 0:3]
                 org_ego = np.zeros_like(pts_ego)

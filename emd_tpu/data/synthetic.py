@@ -226,7 +226,13 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
     `layout="nuscenes"` emits the per-frame dialect
     (nuscenes_sourceloader.py): `extrinsics/{f:03d}_{c}.txt` per-frame
     cam-to-world in the dataset frame, `lidar_pose/{f:03d}.txt`
-    lidar-to-world, 4-wide sensor-frame lidar rows."""
+    lidar-to-world, 4-wide sensor-frame lidar rows.
+
+    `layout="argoverse"` / `layout="nuplan"` emit the waymo directory
+    shape with opencv-native extrinsics (OPENCV2DATASET = identity in
+    those loaders, argoverse_sourceloader.py:62-64,
+    nuplan_sourceloader.py:30-33) and ego-frame 4-wide (argoverse) /
+    6-wide (nuplan, x y z intensity _ laser_id) lidar rows."""
     import cv2
 
     from .scene_data import OPENCV2DATASET
@@ -246,7 +252,7 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
     for c in range(c_):
         K = scene.intrinsics[c]
         vals = [K[0, 0], K[1, 1], K[0, 2], K[1, 2]]
-        if layout in ("kitti", "nuscenes"):
+        if layout in ("kitti", "nuscenes", "argoverse", "nuplan"):
             vals += [0.0] * 5                    # k1 k2 p1 p2 k3
         np.savetxt(os.path.join(out_dir, "intrinsics", f"{c}.txt"), vals)
         if layout == "nuscenes":
@@ -296,9 +302,13 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
             pts = scene.lidar_points[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             org = scene.lidar_origins[f] @ ego_inv[:3, :3].T + ego_inv[:3, 3]
             n = pts.shape[0]
-            if layout in ("kitti", "nuscenes"):
+            if layout in ("kitti", "nuscenes", "argoverse"):
                 rows = np.zeros((n, 4), np.float32)
                 rows[:, 0:3] = pts
+            elif layout == "nuplan":
+                rows = np.zeros((n, 6), np.float32)
+                rows[:, 0:3] = pts
+                rows[:, 5] = 1.0                 # laser id
             else:
                 rows = np.zeros((n, 10), np.float32)
                 rows[:, 0:3] = org

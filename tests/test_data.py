@@ -219,6 +219,36 @@ def test_nuscenes_layout_roundtrip(tmp_path, synth):
     assert len(b.instances) == len(a.instances)
 
 
+def test_argoverse_nuplan_layout_roundtrip(tmp_path, synth):
+    """Opencv-native dialects (argoverse_sourceloader.py:62-64,
+    nuplan_sourceloader.py:30-33): waymo directory shape, identity
+    dataset<->opencv transform, ego-frame 4-wide (argoverse) / 6-wide
+    (nuplan) lidar rows. Selected explicitly (the reference picks the
+    loader from its dataset config — not sniffable from waymo)."""
+    scene, truth = synth
+    emd = str(tmp_path / "emd")
+    write_scene_dir(scene, emd, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"])
+    a = load_scene(emd)
+    for layout in ("argoverse", "nuplan"):
+        d = str(tmp_path / layout)
+        write_scene_dir(scene, d, ego_poses=truth["ego"],
+                        cam2ego=truth["cam2ego"], layout=layout)
+        b = load_scene(d, layout=layout)
+        np.testing.assert_allclose(a.cam_to_worlds, b.cam_to_worlds,
+                                   atol=1e-4)
+        np.testing.assert_allclose(a.intrinsics, b.intrinsics, atol=1e-4)
+        np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+        np.testing.assert_allclose(a.lidar_points[2], b.lidar_points[2],
+                                   atol=1e-3)
+        # ray origins are the per-frame sensor position
+        np.testing.assert_allclose(
+            b.lidar_origins[2],
+            np.broadcast_to(b.lidar_origins[2][0],
+                            b.lidar_origins[2].shape), atol=1e-5)
+        assert len(b.instances) == len(a.instances)
+
+
 def test_build_scene_params_with_real_smpl_asset(tmp_path, synth):
     """The real-asset SMPL path: on-mesh init (one gaussian per vertex,
     normal-aligned quats), betas-shaped per-instance skeleton."""
