@@ -111,7 +111,7 @@ def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
             [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
         inst = expand_instances(packed, binning)
         tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
-                                interpret)
+                                interpret, with_feat=False)
         rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,
                                               height)
 

@@ -52,9 +52,10 @@ def scale_percentile_reg(log_scales: jax.Array, alive: jax.Array,
     """Penalize the largest scales beyond the alive-set percentile
     (rigid.py compute_reg_loss scaling term)."""
     s = jnp.exp(jnp.max(log_scales, axis=-1))
+    # dead slots enter as 0.0 — they bias the percentile low, which only
+    # makes the penalty slightly stricter and keeps the op jit-friendly
+    # (nan-aware quantile would need a dynamic alive count)
     s_alive = jnp.where(alive, s, 0.0)
-    thresh = jnp.quantile(jnp.where(alive, s, jnp.nan), percentile,
-                          method="linear") if False else \
-        jnp.percentile(s_alive, percentile * 100.0)
+    thresh = jnp.percentile(s_alive, percentile * 100.0)
     pen = jnp.maximum(s_alive - thresh, 0.0)
     return jnp.sum(pen) / jnp.maximum(jnp.sum(alive), 1.0)

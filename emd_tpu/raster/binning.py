@@ -194,10 +194,13 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     budget: int,          # M: static instance budget
-    chunk: int = 128,     # compositor DMA chunk; segments padded to this
+    chunk: int | None = None,  # compositor DMA chunk (default CHUNK_STATIC)
     conics: jax.Array | None = None,      # (N, 3) enables the tight test
     opacities: jax.Array | None = None,   # (N,) post-compensation
 ) -> Binning:
+    if chunk is None:
+        from .composite_pallas import CHUNK_STATIC
+        chunk = CHUNK_STATIC
     n = means2d.shape[0]
     ntx, nty = num_tiles(width, height, tile_size)
     n_tiles = ntx * nty

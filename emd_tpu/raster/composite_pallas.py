@@ -32,12 +32,14 @@ Design (TPU-first, not a CUDA translation):
 The alpha clamp semantics match the CUDA rasterizers: alpha < 1/255 is
 skipped, alpha is clamped at 0.99, and gradients are zeroed where clamped.
 
-Instance packing (fields-major (16, M_pad) f32 so chunk DMAs slice along
-128-aligned lanes):
+Instance packing (fields-major (R, M_pad) f32 so chunk DMAs slice along
+128-aligned lanes; R = 10 without features, 13 with — DMA and gradient
+write traffic scale with R, so rows that would be structural zeros are
+simply not carried):
   [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
   [5:8] rgb  [8] opacity [9] depth  [10:13] feature (optional; the S3
   DINO-distillation channels, rendered through the same compositing
-  weights — gaussian_renderer/__init__.py:170-201) [13:16] zero padding
+  weights — gaussian_renderer/__init__.py:170-201)
 Output channels (per tile, (8, 1024)):
   [0:3] rgb  [3] accumulated depth  [4] final log-transmittance s
   [5:8] rendered feature
@@ -55,38 +57,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 32          # pixel tile edge -> 1024 px per tile
 NPX = TILE * TILE
-FEAT = 16          # packed instance feature width
+ROWS_BASE = 10     # packed rows without features (means2d..depth)
+ROWS_FEAT = 13     # packed rows with the 3 feature channels
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-5       # chunk-level early-termination transmittance
 HP = jax.lax.Precision.HIGHEST
-CHUNK_STATIC = 128
+# Instance-chunk width: the kernels' DMA granularity, the binning
+# layout's segment alignment, and the early-termination granularity.
+# Env-overridable for hardware experiments (128 measured best on v5e).
+CHUNK_STATIC = int(__import__("os").environ.get("EMD_TPU_CHUNK", "128"))
 
 
 def pack_instances(means2d, conics, colors, opacities, depths,
                    features=None) -> jax.Array:
-    """Per-gaussian attributes (N, ...) -> packed fields-major (16, N) f32.
+    """Per-gaussian attributes (N, ...) -> packed fields-major (R, N) f32,
+    R = 10, or 13 when feature channels are rendered.
 
     Fields-major so the kernels' per-chunk DMA slices run along the (lane)
     instance axis in 128-aligned pieces — Mosaic requires lane-aligned
-    slicing, and chunk-aligned segments guarantee it."""
-    n = means2d.shape[0]
-    feat = (jnp.zeros((3, n), jnp.float32) if features is None
-            else features.astype(jnp.float32).T)
-    z = jnp.zeros((3, n), jnp.float32)
-    return jnp.concatenate([
+    slicing, and chunk-aligned segments guarantee it. The row count is
+    deliberately NOT padded to a sublane tile: every per-chunk DMA, the
+    instance-expansion gather, and the gradient write-back scale linearly
+    with R."""
+    rows = [
         means2d.astype(jnp.float32).T,
         conics.astype(jnp.float32).T,
         colors.astype(jnp.float32).T,
         opacities.astype(jnp.float32)[None, :],
         depths.astype(jnp.float32)[None, :],
-        feat,
-        z,
-    ], axis=0)
+    ]
+    if features is not None:
+        rows.append(features.astype(jnp.float32).T)
+    return jnp.concatenate(rows, axis=0)
 
 
-def _alpha_terms(data, px, py):
-    """Shared fwd/bwd per-chunk alpha math. data: (C, 16) packed rows."""
+def _alpha_terms(data, px, py, with_feat):
+    """Shared fwd/bwd per-chunk alpha math. data: (C, R) packed rows."""
     mx = data[:, 0:1]
     my = data[:, 1:2]
     ca = data[:, 2:3]
@@ -106,7 +113,7 @@ def _alpha_terms(data, px, py):
     return dict(dx=dx, dy=dy, g=g, opa=opa, ca=ca, cb=cb, cc=cc,
                 alpha=alpha, live=live, logom=logom,
                 colors=data[:, 5:8], depth=data[:, 9:10],
-                feat=data[:, 10:13])
+                feat=data[:, 10:13] if with_feat else None)
 
 
 def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
@@ -166,7 +173,7 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
                        jax.lax.rem(c + 1, 2)).start()
 
         _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
-        terms = _alpha_terms(buf[slot].T, px, py)
+        terms = _alpha_terms(buf[slot].T, px, py, with_feat)
         logom = terms["logom"]
         cum_in = _inclusive_scan0(logom, chunk)
         w = terms["alpha"] * jnp.exp(s + cum_in - logom)  # exclusive scan
@@ -213,7 +220,6 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                 with_feat):
     t = pl.program_id(0)
     start = offs_ref[t]
-    nchunks = (offs_ref[t + 1] - start) // chunk
     px, py = _pixel_coords(t, ntx)
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
@@ -225,19 +231,10 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     l_total = out_res_ref[0, 4:5, :]
     k_star = meta_ref[0, 0, 0].astype(jnp.int32)
 
-    # chunks in [k_star, nchunks) never composited -> exact zero gradients
-    def z_body(k, _):
-        c = k_star + k
-        gbuf[0] = jnp.zeros((FEAT, chunk), jnp.float32)
-        wcp = pltpu.make_async_copy(
-            gbuf.at[0],
-            dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
-                                  chunk)], wsem.at[0])
-        wcp.start()
-        wcp.wait()
-        return 0
-
-    jax.lax.fori_loop(0, nchunks - k_star, z_body, 0)
+    # chunks in [k_star, nchunks) were never composited: the kernel skips
+    # them and the wrapper zeroes their (garbage) slots outside — a mask
+    # folded into an existing elementwise op beats a sequential DMA loop
+    # of small zero writes here.
 
     @pl.when(k_star > 0)
     def _():
@@ -256,7 +253,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
 
         slot = jax.lax.rem(k, 2)
         _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
-        terms = _alpha_terms(buf[slot].T, px, py)
+        terms = _alpha_terms(buf[slot].T, px, py, with_feat)
         alpha = terms["alpha"]
         logom = terms["logom"]
         cum_in = _inclusive_scan0(logom, chunk)
@@ -284,7 +281,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         def rsum(x):
             return jnp.sum(x, axis=1, keepdims=True)        # (C, 1)
 
-        gmat = jnp.concatenate([
+        gcols = [
             rsum(common * (ca * dx + cb * dy)),              # d mean_x
             rsum(common * (cb * dx + cc * dy)),              # d mean_y
             rsum(common * (-0.5 * dx * dx)),                 # d conic_a
@@ -294,11 +291,12 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                     precision=HP),
             rsum(terms["g"] * abar),                         # d opacity
             rsum(w * gdep),                                  # d depth
-            (jnp.dot(w, gfea.T, preferred_element_type=jnp.float32,
-                     precision=HP) if with_feat
-             else jnp.zeros((chunk, 3), jnp.float32)),       # d feature
-            jnp.zeros((chunk, 3), jnp.float32),
-        ], axis=1)                                           # (C, 16)
+        ]
+        if with_feat:
+            gcols.append(jnp.dot(w, gfea.T,
+                                 preferred_element_type=jnp.float32,
+                                 precision=HP))               # d feature
+        gmat = jnp.concatenate(gcols, axis=1)                 # (C, rows)
         gslot = jax.lax.rem(k, 2)
         gbuf[gslot] = gmat.T
         wcp = pltpu.make_async_copy(
@@ -329,9 +327,10 @@ class TileImage(NamedTuple):
 def composite_tiles(inst_data: jax.Array, tile_offsets: jax.Array,
                     ntx: int, nty: int, interpret: bool = False,
                     with_feat: bool = True) -> jax.Array:
-    """`with_feat` (static): False skips the feature-channel matmuls in
-    both kernels (~40% of the per-chunk MXU work when only rgb/depth are
-    rendered); the feat output rows come back zero."""
+    """`with_feat` (static): False means inst_data has ROWS_BASE rows and
+    the feature-channel matmuls (~40% of the per-chunk MXU work when only
+    rgb/depth are rendered) are skipped; the feat output rows come back
+    zero. Must match inst_data.shape[0] (ROWS_FEAT when True)."""
     out, _ = _composite_fwd_call(inst_data, tile_offsets, ntx, nty,
                                  interpret, with_feat)
     return out
@@ -341,6 +340,8 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
                         with_feat=True):
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
+    rows = ROWS_FEAT if with_feat else ROWS_BASE
+    assert inst_data.shape[0] == rows, (inst_data.shape, with_feat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -352,7 +353,7 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, rows, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -379,6 +380,7 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
     inst_data, tile_offsets, out, meta = res
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
+    rows = ROWS_FEAT if with_feat else ROWS_BASE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -393,8 +395,8 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
-            pltpu.VMEM((2, FEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, rows, chunk), jnp.float32),
+            pltpu.VMEM((2, rows, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -406,11 +408,21 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_offsets, inst_data, out, gout, meta)
-    # Segments the kernel never touched (instance-budget parking region)
-    # contain garbage; they belong to the dummy gaussian, but scrub anyway
-    # so NaNs can't leak through the gather-VJP's scatter-add.
-    written = jnp.arange(inst_data.shape[1], dtype=jnp.int32) \
-        < tile_offsets[-1]
+    # The kernel writes only chunks it actually composited (< the stop
+    # chunk k_star). Everything else — early-terminated chunks and the
+    # instance-budget parking region — contains garbage memory; zero it
+    # with one chunk-granular mask (cheap (n_chunks,) index math + an
+    # elementwise select) instead of a sequential in-kernel DMA zero loop.
+    m_pad = inst_data.shape[1]
+    n_chunks = m_pad // chunk
+    cid = jnp.arange(n_chunks, dtype=jnp.int32)
+    owner = jnp.clip(jnp.searchsorted(tile_offsets, cid * chunk,
+                                      side="right") - 1, 0, n_tiles - 1)
+    k_star = meta[:, 0, 0].astype(jnp.int32)                 # (n_tiles,)
+    comp_end = tile_offsets[:n_tiles] // chunk + k_star      # (n_tiles,)
+    written_c = cid < jnp.take(comp_end, owner)              # (n_chunks,)
+    written = jnp.broadcast_to(written_c[:, None],
+                               (n_chunks, chunk)).reshape(-1)
     dinst = jnp.where(written[None, :], dinst_raw, 0.0)
     return dinst, None
 

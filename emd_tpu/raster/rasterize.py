@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core.camera import Camera
 from .binning import Binning, bin_gaussians, num_tiles
 from .composite_pallas import (
+    CHUNK_STATIC as CHUNK,
     TILE,
     composite_tiles,
     pack_instances,
@@ -31,63 +32,49 @@ from .composite_pallas import (
 )
 from .projection import Projected, project_gaussians
 
-CHUNK = 128
 
+@jax.custom_vjp
+def expand_instances(packed: jax.Array, binning: Binning) -> jax.Array:
+    """Gather per-gaussian attribute rows (R, N+1) to per-instance slots
+    (R, M_pad) via binning.gid — with a hand-written VJP.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def expand_instances(packed: jax.Array, binning: Binning,
-                     n_rows: int = 16) -> jax.Array:
-    """Gather per-gaussian attribute rows (F, N+1) to per-instance slots
-    (F, M_pad) via binning.gid — with a hand-written VJP.
-
-    XLA's VJP for this gather is a (F, M_pad) -> (F, N) scatter-add,
+    XLA's VJP for this gather is a (R, M_pad) -> (R, N) scatter-add,
     measured ~36 ms at 2M instances on a v5e chip. The custom backward
     instead regroups the padded cotangents per gaussian with ONE
-    `jax.lax.sort` keyed directly by the padded gid array, carrying the F
+    `jax.lax.sort` keyed directly by the padded gid array, carrying the R
     cotangent rows as payload (~16 ms at 2M): the sort key is exactly
     binning.gid, dummy/padding slots carry gid == N and sink to the end,
     and because every real gaussian's instances are a contiguous gid run,
     gaussian i's cotangents land exactly at [seg_starts[i], seg_ends[i]).
     A batched cumsum (~6 ms) + two N-column boundary gathers finish the
     segment reduction. No budget-sized gather or scatter anywhere —
-    column gathers from a >100 MB (F, M) table measure 50-100 ms on this
+    column gathers from a >100 MB (R, M) table measure 50-100 ms on this
     chip (strided columns), which sank two earlier formulations of this
     backward (inverse-permutation gather and dest-map gather).
 
-    `n_rows` (static) is the count of packed rows that can be nonzero —
-    rows beyond it are structural zeros (absent features, the 16-row DMA
-    padding). The forward gathers only those rows and broadcasts zeros
-    for the rest (same (16, M_pad) output, ~n_rows/16 of the gather
-    traffic); the backward sorts/reduces only the first n_rows."""
-    expanded = jnp.take(packed[:n_rows], binning.gid, axis=1)
-    if n_rows == packed.shape[0]:
-        return expanded
-    return jnp.concatenate([
-        expanded,
-        jnp.zeros((packed.shape[0] - n_rows, binning.gid.shape[0]),
-                  packed.dtype)], axis=0)
+    R is exactly the packed row count (10, or 13 with features —
+    pack_instances carries no structurally-zero rows), so gather traffic,
+    the backward sort payload, and the kernels' DMA all scale with it."""
+    return jnp.take(packed, binning.gid, axis=1)
 
 
-def _expand_fwd(packed, binning, n_rows):
-    return expand_instances(packed, binning, n_rows), \
-        (packed.shape, binning)
+def _expand_fwd(packed, binning):
+    return expand_instances(packed, binning), (packed.shape, binning)
 
 
-def _expand_bwd(n_rows, res, g):
+def _expand_bwd(res, g):
     shape, binning = res
-    srt = jax.lax.sort((binning.gid,) + tuple(g[:n_rows]), num_keys=1)
+    n_rows = shape[0]
+    srt = jax.lax.sort((binning.gid,) + tuple(g), num_keys=1)
     g_grp = jnp.stack(srt[1:])                   # (n_rows, M_pad) gid-major
     cs = jnp.cumsum(g_grp, axis=1)
     cs0 = jnp.concatenate([jnp.zeros((n_rows, 1), cs.dtype), cs],
                           axis=1)
     seg = (jnp.take(cs0, binning.seg_ends, axis=1)
            - jnp.take(cs0, binning.seg_starts, axis=1))   # (n_rows, N)
-    g_packed = jnp.concatenate([
-        jnp.concatenate(
-            [seg, jnp.zeros((n_rows, shape[1] - seg.shape[1]), seg.dtype)],
-            axis=1),
-        jnp.zeros((shape[0] - n_rows, shape[1]), seg.dtype),
-    ], axis=0)
+    g_packed = jnp.concatenate(
+        [seg, jnp.zeros((n_rows, shape[1] - seg.shape[1]), seg.dtype)],
+        axis=1)
     return g_packed, None
 
 
@@ -162,13 +149,10 @@ def rasterize(
     packed = pack_instances(
         means2d, proj.conics, colors,
         opacities * proj.compensation, proj.depths, features,
-    )  # fields-major (16, N)
+    )  # fields-major (10 or 13, N)
     packed = jnp.concatenate(
         [packed, jnp.zeros((packed.shape[0], 1), packed.dtype)], axis=1)
-    # rows 0-9 (means2d/conic/rgb/opacity/depth) always carry gradient;
-    # 10-12 only when features are rendered; 13-15 are DMA padding
-    inst = expand_instances(packed, binning,
-                            13 if features is not None else 10)
+    inst = expand_instances(packed, binning)
 
     ntx, nty = num_tiles(cam.width, cam.height, TILE)
     tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret,

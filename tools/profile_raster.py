@@ -90,16 +90,17 @@ def main():
     def ex(m2):
         packed = pack_instances(m2, proj.conics, colors, eff, proj.depths)
         packed = jnp.concatenate(
-            [packed, jnp.zeros((16, 1), jnp.float32)], axis=1)
+            [packed, jnp.zeros((packed.shape[0], 1), jnp.float32)], axis=1)
         return expand_instances(packed, binning)
     chain_time(ex, proj.means2d, name="pack+expand fwd")
 
     inst = jax.jit(ex)(proj.means2d)
     chain_time(lambda i: composite_tiles(i, binning.tile_offsets, ntx, nty,
-                                         False), inst,
+                                         False, with_feat=False), inst,
                name="composite fwd")
     chain_time(lambda i: jax.grad(lambda j: jnp.sum(composite_tiles(
-        j, binning.tile_offsets, ntx, nty, False)[:, 0:5] ** 2))(i), inst,
+        j, binning.tile_offsets, ntx, nty, False,
+        with_feat=False)[:, 0:5] ** 2))(i), inst,
         name="composite fwd+bwd")
 
     def ex_loss(m2):
