@@ -137,12 +137,15 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                  OPENCV2DATASET), 10/14-wide lidar;
       - "kitti": the reference's processed KITTI
                  (kitti_sourceloader.py) — 9-value intrinsics,
-                 dataset-convention extrinsics, 4-wide lidar rows
+                 opencv-native cam->velo extrinsics (its loader's
+                 OPENCV2DATASET is the identity,
+                 kitti_sourceloader.py:40-42), 4-wide lidar rows
                  (x y z intensity) in the ego frame with ray origins at
                  the sensor;
       - "nuscenes" / "pandaset": per-frame per-camera cam-to-world
-                 files `extrinsics/{frame:03d}_{cam}.txt` (dataset
-                 convention), per-frame `lidar_pose/{frame:03d}.txt`
+                 files `extrinsics/{frame:03d}_{cam}.txt` (opencv-native
+                 camera frames, nuscenes_sourceloader.py:55-57),
+                 per-frame `lidar_pose/{frame:03d}.txt`
                  lidar-to-world with 4-wide (nuscenes) / 5-wide
                  (pandaset, + laser id) lidar rows in the sensor frame
                  (nuscenes_sourceloader.py:74-110,360-400,
@@ -216,40 +219,62 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     if layout == "auto":
         if per_frame_ext:
             layout = "nuscenes"
+        elif intr_len <= 4:
+            layout = "emd"
         else:
-            layout = "emd" if intr_len <= 4 else "waymo"
+            # waymo vs kitti matters now: their camera-frame conventions
+            # differ (x-front vs opencv). 4-wide ego-frame lidar rows are
+            # the kitti tell; waymo bins are 10/14-wide with ray origins.
+            layout = "waymo"
+            first_bin = os.path.join(scene_dir, "lidar",
+                                     f"{frames[0]:03d}.bin")
+            if os.path.exists(first_bin):
+                raw0 = np.fromfile(first_bin, dtype=np.float32)
+                if _sniff_lidar_width(raw0) == 4:
+                    layout = "kitti"
 
     if layout in ("nuscenes", "pandaset"):
         # per-frame cam-to-world files; the world is rebased to the
         # first ego pose when one exists, else to camera 0's first pose
         # (nuscenes aligns to camera_front_start)
+        # keep float64 until AFTER the rebase: raw world coordinates can
+        # be mercator-scale (~1e6 m, kitti/nuplan ego poses) where f32
+        # only resolves ~0.5 m
         raw_c2w = np.stack([np.stack([
             np.loadtxt(os.path.join(ex_dir, f"{f:03d}_{c}.txt")
                        ).reshape(4, 4)
-            for c in cams]) for f in frames]).astype(np.float32)
+            for c in cams]) for f in frames])
         ego_dir = os.path.join(scene_dir, "ego_pose")
         if os.path.isdir(ego_dir):
             ego_poses = np.stack([
                 np.loadtxt(os.path.join(ego_dir, f"{f:03d}.txt")
                            ).reshape(4, 4)
-                for f in frames]).astype(np.float32)
+                for f in frames])
             base_inv = np.linalg.inv(ego_poses[0])
             ego_poses = base_inv[None] @ ego_poses
         else:
             base_inv = np.linalg.inv(raw_c2w[0, 0])
             ego_poses = np.einsum("ij,fjk->fik", base_inv, raw_c2w[:, 0])
-        cam_to_worlds = np.einsum(
-            "ij,fcjk,kl->fcil", base_inv, raw_c2w, OPENCV2DATASET)
+        # nuscenes/pandaset camera frames are already opencv (their
+        # loaders' OPENCV2DATASET is the identity,
+        # nuscenes_sourceloader.py:55-57, pandaset_sourceloader.py:50-52)
+        cam_to_worlds = np.einsum("ij,fcjk->fcik", base_inv, raw_c2w)
     else:
         cam2ego = np.stack([
             np.loadtxt(os.path.join(ex_dir, f"{c}.txt")).reshape(4, 4)
-            for c in cams]).astype(np.float32)
-        if layout in ("waymo", "kitti"):
+            for c in cams])
+        if layout == "waymo":
+            # only waymo stores x-front/y-left/z-up camera frames
+            # (waymo_sourceloader.py:31-33); kitti extrinsics are already
+            # cam(opencv)->velo (kitti_sourceloader.py:40-42,
+            # kitti_preprocess.py save_calib writes inv(T_cam2_velo))
             cam2ego = cam2ego @ OPENCV2DATASET[None]
+        # float64 until after the rebase (mercator-scale translations,
+        # e.g. raw-KITTI oxts, lose sub-meter precision in f32)
         ego_poses = np.stack([
             np.loadtxt(os.path.join(scene_dir, "ego_pose",
                                     f"{f:03d}.txt")).reshape(4, 4)
-            for f in frames]).astype(np.float32)
+            for f in frames])
         # rebase to first ego pose
         base_inv = np.linalg.inv(ego_poses[0])
         ego_poses = base_inv[None] @ ego_poses
@@ -351,7 +376,11 @@ def _load_instances(scene_dir, frames, base_inv):
                                v["frame_annotations"]["obj_to_world"]):
             if f_ann in frame_of:
                 fi = frame_of[f_ann]
-                poses[fi] = base_inv @ np.asarray(pose, np.float32)
+                # rebase in float64: world-scale translations (mercator
+                # coords, raw-KITTI oxts) lose sub-meter precision in f32
+                poses[fi] = (base_inv
+                             @ np.asarray(pose, np.float64)
+                             ).astype(np.float32)
                 valid[fi] = True
         size = np.max(np.asarray(v["frame_annotations"]["box_size"],
                                  np.float32), axis=0)

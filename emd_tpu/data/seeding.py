@@ -29,9 +29,11 @@ from ..scene.sky import SkyCubemap
 from .depth import lidar_colors
 from .scene_data import InstanceAnn, SceneData
 
-RIGID_CLASSES = ("vehicle", "car", "truck", "bus", "trailer")
+RIGID_CLASSES = ("vehicle", "car", "truck", "bus", "trailer",
+                 "van", "tram")
 DEFORM_CLASSES = ("cyclist", "bicycle", "motorcycle", "bicyclist")
-SMPL_CLASSES = ("pedestrian", "person", "human")
+SMPL_CLASSES = ("pedestrian", "person", "human",
+                "person_sitting")
 
 
 def _in_box(pts_world, pose, size, margin=1.0):

@@ -219,14 +219,16 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
 
     `layout="kitti"` emits the reference's processed-KITTI dialect
     (kitti_sourceloader.py): 9-value intrinsics (zero distortion),
-    DATASET-convention extrinsics (x front / y left / z up), 4-wide
-    lidar rows (x y z intensity) in the ego frame — both a loader-path
-    test fixture and a converter for emd-native scenes.
+    opencv-native cam->velo extrinsics (that loader's OPENCV2DATASET is
+    the identity, kitti_sourceloader.py:40-42), 4-wide lidar rows
+    (x y z intensity) in the ego frame — both a loader-path test
+    fixture and a converter for emd-native scenes.
 
     `layout="nuscenes"` emits the per-frame dialect
     (nuscenes_sourceloader.py): `extrinsics/{f:03d}_{c}.txt` per-frame
-    cam-to-world in the dataset frame, `lidar_pose/{f:03d}.txt`
-    lidar-to-world, 4-wide sensor-frame lidar rows.
+    cam-to-world with opencv-native camera frames,
+    `lidar_pose/{f:03d}.txt` lidar-to-world, 4-wide sensor-frame lidar
+    rows.
 
     `layout="argoverse"` / `layout="nuplan"` emit the waymo directory
     shape with opencv-native extrinsics (OPENCV2DATASET = identity in
@@ -257,18 +259,15 @@ def write_scene_dir(scene, out_dir: str, ego_poses=None,
         np.savetxt(os.path.join(out_dir, "intrinsics", f"{c}.txt"), vals)
         if layout == "nuscenes":
             continue                             # per-frame files below
-        c2e = cam2ego[c]
-        if layout == "kitti":
-            c2e = c2e @ np.linalg.inv(OPENCV2DATASET)
-        np.savetxt(os.path.join(out_dir, "extrinsics", f"{c}.txt"), c2e)
+        np.savetxt(os.path.join(out_dir, "extrinsics", f"{c}.txt"),
+                   cam2ego[c])
     if layout == "nuscenes":
         os.makedirs(os.path.join(out_dir, "lidar_pose"), exist_ok=True)
-        inv_cv = np.linalg.inv(OPENCV2DATASET)
         for f in range(f_):
             for c in range(c_):
                 np.savetxt(
                     os.path.join(out_dir, "extrinsics", f"{f:03d}_{c}.txt"),
-                    scene.cam_to_worlds[f, c] @ inv_cv)
+                    scene.cam_to_worlds[f, c])
             np.savetxt(os.path.join(out_dir, "lidar_pose", f"{f:03d}.txt"),
                        ego_poses[f])
     for f in range(f_):

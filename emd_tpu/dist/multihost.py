@@ -16,9 +16,11 @@ from jax.sharding import Mesh
 def init_multihost(coordinator: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op when single-process). On TPU pods
-    the arguments come from the environment automatically."""
-    if jax.process_count() > 1:
+    """Initialize jax.distributed (no-op when already initialized). On TPU
+    pods the arguments come from the environment automatically. NOTE: must
+    run before anything touches the XLA backend — even jax.devices() /
+    jax.process_count() would initialize it single-process."""
+    if jax.distributed.is_initialized():
         return
     try:
         if coordinator is None:
@@ -26,8 +28,11 @@ def init_multihost(coordinator: str | None = None,
         else:
             jax.distributed.initialize(coordinator, num_processes,
                                        process_id)
-    except Exception:
-        pass  # single-process / already initialized
+    except Exception as e:  # single-process / already initialized
+        import logging
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (continuing "
+            "single-process): %s", e)
 
 
 def make_pod_mesh(n_gauss_per_host: int | None = None) -> Mesh:

@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..train.losses import psnr as _psnr
 from ..train.losses import ssim as _ssim
@@ -70,8 +71,9 @@ def _ssim_map(pred, gt, window=11, sigma=1.5, c1=0.01 ** 2, c2=0.03 ** 2):
 _ALEX_CFG = [  # (out_ch, kernel, stride, pad) per conv stage
     (64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
     (256, 3, 1, 1), (256, 3, 1, 1)]
-_SHIFT = jnp.array([-0.030, -0.088, -0.188])
-_SCALE = jnp.array([0.458, 0.448, 0.450])
+# numpy, not jnp: no XLA-backend init at import time (pod bring-up)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class Lpips(NamedTuple):

@@ -11,6 +11,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.quat import rotation_6d_to_matrix
 from ..motion.mlp import Linear
@@ -52,7 +53,9 @@ class CameraPoseCorrection(NamedTuple):
         return CameraPoseCorrection(deltas=jnp.zeros((n_images, 9)))
 
 
-_ID6 = jnp.array([1.0, 0, 0, 0, 1.0, 0])
+# numpy, not jnp: no XLA-backend init at import time (pod bring-up
+# requires jax.distributed.initialize to run before any backend touch)
+_ID6 = np.array([1.0, 0, 0, 0, 1.0, 0], np.float32)
 
 
 def correct_camtoworld(corr: CameraPoseCorrection, camtoworld: jax.Array,

@@ -15,12 +15,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..motion.mlp import Linear, linear_init
 
 # world->OpenGL axis swap the reference applies before cube lookup
 # (modules.py:186 to_opengl)
-_TO_OPENGL = jnp.array([[1.0, 0, 0], [0, 0, 1], [0, -1.0, 0]])
+# numpy, not jnp: module-level jnp constants initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize
+# on pod bring-up (it must run before any backend touch)
+_TO_OPENGL = np.array([[1.0, 0, 0], [0, 0, 1], [0, -1.0, 0]],
+                      np.float32)
 
 
 class SkyCubemap(NamedTuple):

@@ -219,6 +219,45 @@ def test_nuscenes_layout_roundtrip(tmp_path, synth):
     assert len(b.instances) == len(a.instances)
 
 
+def test_extrinsics_convention_pinned(tmp_path):
+    """Pin the per-dialect camera-frame convention against the reference
+    loaders, independent of our writer: waymo extrinsics are dataset-frame
+    (x front / y left / z up; converted via OPENCV2DATASET,
+    waymo_sourceloader.py:31-33), kitti extrinsics are already
+    cam(opencv)->velo (kitti_sourceloader.py:40-42 identity)."""
+    import cv2
+
+    from emd_tpu.data.scene_data import OPENCV2DATASET
+
+    rng = np.random.RandomState(0)
+    c2e = np.eye(4, dtype=np.float64)
+    th = 0.3
+    c2e[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                            [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    c2e[:3, 3] = [0.5, 0.1, 1.4]
+
+    for layout, rows in (("waymo", 10), ("kitti", 4)):
+        d = tmp_path / layout
+        for sub in ("images", "intrinsics", "extrinsics", "ego_pose",
+                    "lidar"):
+            (d / sub).mkdir(parents=True)
+        img = (rng.rand(8, 12, 3) * 255).astype(np.uint8)
+        for f in range(2):
+            cv2.imwrite(str(d / "images" / f"{f:03d}_0.png"), img)
+            np.savetxt(str(d / "ego_pose" / f"{f:03d}.txt"),
+                       np.eye(4))
+            np.zeros((6, rows), np.float32).tofile(
+                str(d / "lidar" / f"{f:03d}.bin"))
+        np.savetxt(str(d / "intrinsics" / "0.txt"),
+                   [100.0, 100.0, 6.0, 4.0, 0, 0, 0, 0, 0])
+        np.savetxt(str(d / "extrinsics" / "0.txt"), c2e)
+
+        loaded = load_scene(str(d))                    # auto-sniffed
+        expect = c2e @ OPENCV2DATASET if layout == "waymo" else c2e
+        np.testing.assert_allclose(loaded.cam_to_worlds[0, 0], expect,
+                                   atol=1e-6)
+
+
 def test_argoverse_nuplan_layout_roundtrip(tmp_path, synth):
     """Opencv-native dialects (argoverse_sourceloader.py:62-64,
     nuplan_sourceloader.py:30-33): waymo directory shape, identity
@@ -247,6 +286,120 @@ def test_argoverse_nuplan_layout_roundtrip(tmp_path, synth):
             np.broadcast_to(b.lidar_origins[2][0],
                             b.lidar_origins[2].shape), atol=1e-5)
         assert len(b.instances) == len(a.instances)
+
+
+def test_kitti_raw_converter(tmp_path):
+    """End-to-end raw-KITTI preprocessing (kitti_preprocess.py
+    re-creation): a synthetic raw drive (calib txts, mercator oxts,
+    velodyne bins, tracklet XML) converts into a processed dir that
+    load_scene reads with geometrically consistent output."""
+    import cv2
+
+    from emd_tpu.data.kitti_raw import convert_kitti_raw, oxts_to_pose
+
+    date = tmp_path / "2011_09_26"
+    drive = date / "2011_09_26_drive_0001_sync"
+    for sub in ("image_02/data", "image_03/data", "velodyne_points/data",
+                "oxts/data"):
+        (drive / sub).mkdir(parents=True)
+
+    # calib: rectification = identity, cam0=velo rotated into opencv axes,
+    # cam3 offset by a stereo baseline in P_rect
+    R_cam_velo = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float64)
+    t_cam_velo = np.array([0.0, -0.08, -0.27])
+    with open(date / "calib_velo_to_cam.txt", "w") as f:
+        f.write("R: " + " ".join(map(str, R_cam_velo.ravel())) + "\n")
+        f.write("T: " + " ".join(map(str, t_cam_velo)) + "\n")
+    with open(date / "calib_imu_to_velo.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: -0.8 0.3 0.9\n")
+    fx, cx, cy = 100.0, 24.0, 16.0
+    with open(date / "calib_cam_to_cam.txt", "w") as f:
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"P_rect_02: {fx} 0 {cx} 0 0 {fx} {cy} 0 0 0 1 0\n")
+        f.write(f"P_rect_03: {fx} 0 {cx} {-fx * 0.54} 0 {fx} {cy} 0 "
+                "0 0 1 0\n")
+
+    # oxts: small northward drive with a gentle yaw
+    lat0, lon0 = 49.0, 8.43
+    n_frames = 3
+    rows = np.zeros((n_frames, 30))
+    for f in range(n_frames):
+        rows[f, :6] = [lat0 + 2e-6 * f, lon0 + 3e-6 * f, 112.0 + 0.01 * f,
+                       0.01, -0.02, 0.3 + 0.05 * f]
+        np.savetxt(str(drive / "oxts" / "data" / f"{f:010d}.txt"), rows[f])
+
+    # one world-fixed physical point, written into each frame's velo scan
+    T_w_imu = oxts_to_pose(rows)
+    T_velo_imu = np.eye(4)
+    T_velo_imu[:3, 3] = [-0.8, 0.3, 0.9]
+    velo2world = T_w_imu @ np.linalg.inv(T_velo_imu)
+    p_world = velo2world[0] @ np.array([8.0, 1.0, -0.5, 1.0])
+    img = np.full((32, 48, 3), 128, np.uint8)
+    for f in range(n_frames):
+        cv2.imwrite(str(drive / "image_02" / "data" / f"{f:010d}.png"), img)
+        cv2.imwrite(str(drive / "image_03" / "data" / f"{f:010d}.png"), img)
+        p_velo = np.linalg.inv(velo2world[f]) @ p_world
+        pts = np.zeros((8, 4), np.float32)
+        pts[:, :3] = p_velo[:3]
+        pts[:, 3] = 0.5
+        pts.tofile(str(drive / "velodyne_points" / "data"
+                       / f"{f:010d}.bin"))
+
+    # tracklet: one Car 10 m ahead in the velo frame of every frame
+    poses_xml = "".join(
+        f"<item><tx>10.0</tx><ty>{0.5 * s}</ty><tz>-0.7</tz>"
+        "<rx>0</rx><ry>0</ry><rz>0.2</rz></item>"
+        for s in range(n_frames))
+    (drive / "tracklet_labels.xml").write_text(
+        "<boost_serialization><tracklets>"
+        "<count>2</count><item_version>1</item_version>"
+        "<item><objectType>Car</objectType>"
+        "<h>1.5</h><w>1.8</w><l>4.2</l><first_frame>0</first_frame>"
+        f"<poses><count>{n_frames}</count>{poses_xml}</poses></item>"
+        "<item><objectType>Misc</objectType>"
+        "<h>1</h><w>1</w><l>1</l><first_frame>0</first_frame>"
+        "<poses><count>1</count><item><tx>0</tx><ty>0</ty><tz>0</tz>"
+        "<rx>0</rx><ry>0</ry><rz>0</rz></item></poses></item>"
+        "</tracklets></boost_serialization>")
+
+    out = str(tmp_path / "processed")
+    n = convert_kitti_raw(str(drive), out)
+    assert n == n_frames
+
+    scene = load_scene(out)                              # auto: kitti
+    assert scene.num_frames == n_frames and scene.num_cams == 2
+    # world-fixed lidar point agrees across frames after pose rebase
+    for f in range(1, n_frames):
+        np.testing.assert_allclose(scene.lidar_points[f][0],
+                                   scene.lidar_points[0][0], atol=1e-3)
+    # the camera chain: loaded c2w[0,0] == inv(T_cam2_velo) at the rebase
+    # origin (ego_pose[0] rebases to identity)
+    T_cam2_velo = np.eye(4)
+    T_cam2_velo[:3, :3] = R_cam_velo
+    T_cam2_velo[:3, 3] = t_cam_velo
+    np.testing.assert_allclose(scene.cam_to_worlds[0, 0],
+                               np.linalg.inv(T_cam2_velo), atol=1e-5)
+    # stereo baseline from P_rect_03
+    base = (scene.cam_to_worlds[0, 0] @ np.linalg.inv(
+        scene.cam_to_worlds[0, 1]))
+    np.testing.assert_allclose(np.linalg.norm(base[:3, 3]), 0.54,
+                               atol=1e-5)
+    np.testing.assert_allclose(scene.intrinsics[0],
+                               [[fx, 0, cx], [0, fx, cy], [0, 0, 1]],
+                               atol=1e-6)
+    # instances: the Misc tracklet is dropped, the Car round-trips
+    assert len(scene.instances) == 1
+    car = scene.instances[0]
+    assert car.class_name == "Car" and car.frame_valid.all()
+    np.testing.assert_allclose(car.size, [4.2, 1.8, 1.5], atol=1e-6)
+    # bottom-center annotation lifted to the box center (z + h/2)
+    np.testing.assert_allclose(car.poses[0][:3, 3],
+                               [10.0, 0.0, -0.7 + 0.75], atol=1e-5)
+    # projected-box masks exist and mark the vehicle region
+    import os
+    m = cv2.imread(os.path.join(out, "vehicle_masks", "000_0.png"), 0)
+    assert m is not None and (m > 0).any()
+    assert scene.dynamic_masks is not None
 
 
 def test_build_scene_params_with_real_smpl_asset(tmp_path, synth):
