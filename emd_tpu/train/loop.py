@@ -89,6 +89,7 @@ def fit_scene(
     mesh=None,
     resume: str | None = None,
     smpl_template: str | None = None,
+    step_hook=None,
 ) -> SceneTrainState:
     """Train the scene-graph model on a scene; returns the final state.
 
@@ -142,7 +143,8 @@ def fit_scene(
         return _fit_scene_sharded(scene, out_dir, cfg, loop, state,
                                   scene_scale, source, metrics_log, key,
                                   mesh, logger, eval_fn=eval_fn,
-                                  start_step=start_step)
+                                  start_step=start_step,
+                                  step_hook=step_hook)
 
     overflow_streak = resume_extras.get("overflow_streak", 0)
     pending = []         # (step, view_idx, metrics-on-device) FIFO
@@ -242,6 +244,10 @@ def fit_scene(
         if step % loop.log_interval == 0:
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
+            if step_hook is not None:
+                # e.g. the live viewer's publish() — a lock-free state
+                # swap, so browser frames track training
+                step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
                 step % loop.eval_interval == 0:
@@ -315,7 +321,8 @@ def restore_train_checkpoint(path, state, source, key):
 
 
 def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
-               loop: LoopConfig = LoopConfig(), eval_fn=None):
+               loop: LoopConfig = LoopConfig(), eval_fn=None,
+               step_hook=None):
     """Single-class training loop: the reference SingleTrainer path
     (OmniRe models/trainers/single.py:23-211 driven by tools/train.py) —
     a background-only model whose variant (vanilla / PVG / DeformGS) is
@@ -370,6 +377,10 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
         if step % loop.log_interval == 0:
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
+            if step_hook is not None:
+                # e.g. the live viewer's publish() — a lock-free state
+                # swap, so browser frames track training
+                step_hook(state, step)
         if eval_fn is not None and step > 0 and \
                 step % loop.eval_interval == 0:
             eval_fn(state, step)
@@ -535,7 +546,7 @@ def _set_background(state: SceneTrainState, bg_params, bg_opt, bg_alive,
 
 def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                        source, metrics_log, key, mesh, logger,
-                       eval_fn=None, start_step=0):
+                       eval_fn=None, start_step=0, step_hook=None):
     """Multi-device variant of the training loop, at parity with the
     single-device loop: full loss suite + per-class regs (the step is
     built on the same render_scene/scene_loss_terms), real step counter,
@@ -621,6 +632,10 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
         if step % loop.log_interval == 0:
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
+            if step_hook is not None:
+                # e.g. the live viewer's publish() — a lock-free state
+                # swap, so browser frames track training
+                step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
                 step % loop.eval_interval == 0:

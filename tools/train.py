@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="run full evaluation after training")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--viewer", type=int, default=0,
+                    help="serve the live browser viewer on this port "
+                         "during training (0 = off)")
     ap.add_argument("--layout", type=str, default="auto",
                     choices=["auto", "emd", "waymo", "kitti", "nuscenes",
                              "pandaset"],
@@ -169,9 +172,30 @@ def main():
         from emd_tpu.dist import make_mesh
         mesh = make_mesh(n_data=args.data_parallel,
                          n_gauss=args.gauss_parallel)
+    viewer = None
+    if args.viewer:
+        import numpy as np
+
+        from emd_tpu.viewer import LiveViewer, make_scene_render_fn
+        h0, w0 = scene.image_hw
+        render, layers = make_scene_render_fn(cfg.scene, w0, h0,
+                                              scene.intrinsics[0])
+        cams = scene.cam_to_worlds[:, 0, :3, 3]
+        viewer = LiveViewer(render, None, scene.num_frames, layers=layers,
+                            center=cams.mean(0),
+                            radius=float(np.linalg.norm(
+                                cams.max(0) - cams.min(0)) * 0.8 + 8.0),
+                            port=args.viewer).start()
+        print(f"live viewer at {viewer.url}", flush=True)
+
+    def hook(state, step):
+        if viewer is not None:
+            viewer.publish((state.params, state.aux))
+
     state = fit_scene(scene, args.out, cfg, loop, mesh=mesh,
                       resume=args.resume,
-                      smpl_template=args.smpl_template)
+                      smpl_template=args.smpl_template,
+                      step_hook=hook if viewer is not None else None)
 
     if args.eval:
         src = BatchSource(scene, test_stride=args.test_stride)
