@@ -68,6 +68,9 @@ def _street_gaussians(n, seed=0):
 
 def main():
     import jax
+
+    from emd_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     import jax.numpy as jnp
     from emd_tpu.core import make_camera
     from emd_tpu.train import TrainConfig

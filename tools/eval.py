@@ -34,6 +34,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from emd_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

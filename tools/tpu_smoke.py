@@ -3,6 +3,9 @@ compare against the CPU oracle, and time a medium scene."""
 import time
 
 import jax
+
+from emd_tpu.utils.compile_cache import enable as _enable_cache
+_enable_cache()
 import jax.numpy as jnp
 import numpy as np
 
