@@ -68,10 +68,15 @@ def _expand_bwd(res, g):
     srt = jax.lax.sort((binning.gid,) + tuple(g), num_keys=1)
     g_grp = jnp.stack(srt[1:])                   # (n_rows, M_pad) gid-major
     cs = jnp.cumsum(g_grp, axis=1)
-    cs0 = jnp.concatenate([jnp.zeros((n_rows, 1), cs.dtype), cs],
-                          axis=1)
-    seg = (jnp.take(cs0, binning.seg_ends, axis=1)
-           - jnp.take(cs0, binning.seg_starts, axis=1))   # (n_rows, N)
+    # inclusive-cumsum segment difference WITHOUT materializing a
+    # zero-prepended (n_rows, M_pad+1) copy of cs: gather at ends-1 /
+    # starts-1 with clamped indices, guarding the empty-segment and
+    # starts==0 cases explicitly
+    starts, ends = binning.seg_starts, binning.seg_ends    # (N,)
+    hi = jnp.take(cs, jnp.maximum(ends - 1, 0), axis=1)
+    lo = jnp.where(starts[None, :] > 0,
+                   jnp.take(cs, jnp.maximum(starts - 1, 0), axis=1), 0.0)
+    seg = jnp.where((ends > starts)[None, :], hi - lo, 0.0)  # (n_rows, N)
     g_packed = jnp.concatenate(
         [seg, jnp.zeros((n_rows, shape[1] - seg.shape[1]), seg.dtype)],
         axis=1)
