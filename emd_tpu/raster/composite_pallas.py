@@ -59,6 +59,14 @@ TILE = 32          # pixel tile edge -> 1024 px per tile
 NPX = TILE * TILE
 ROWS_BASE = 10     # packed rows without features (means2d..depth)
 ROWS_FEAT = 13     # packed rows with the 3 feature channels
+# Physical row count at the kernel boundary: Mosaic requires sublane
+# (dim-0) slices to be 8-aligned, so the (R, M_pad) instance array is
+# zero-padded to 16 rows right before the pallas_call (one bandwidth-
+# speed copy) and the gradient output sliced back after. The logical
+# 10/13-row layout still governs everything outside the kernels — the
+# expansion gather, the backward's gid-keyed payload sort and cumsum —
+# which is where the row-trim savings actually live.
+ROWS_PHYS = 16
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-5       # chunk-level early-termination transmittance
@@ -296,7 +304,9 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             gcols.append(jnp.dot(w, gfea.T,
                                  preferred_element_type=jnp.float32,
                                  precision=HP))               # d feature
-        gmat = jnp.concatenate(gcols, axis=1)                 # (C, rows)
+        rows = ROWS_FEAT if with_feat else ROWS_BASE
+        gcols.append(jnp.zeros((chunk, ROWS_PHYS - rows), jnp.float32))
+        gmat = jnp.concatenate(gcols, axis=1)            # (C, ROWS_PHYS)
         gslot = jax.lax.rem(k, 2)
         gbuf[gslot] = gmat.T
         wcp = pltpu.make_async_copy(
@@ -342,6 +352,9 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
     chunk = CHUNK_STATIC
     rows = ROWS_FEAT if with_feat else ROWS_BASE
     assert inst_data.shape[0] == rows, (inst_data.shape, with_feat)
+    inst_phys = jnp.concatenate(
+        [inst_data, jnp.zeros((ROWS_PHYS - rows, inst_data.shape[1]),
+                              inst_data.dtype)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -353,7 +366,7 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, rows, chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS_PHYS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -366,7 +379,7 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_offsets, inst_data)
+    )(tile_offsets, inst_phys)
 
 
 def _composite_fwd(inst_data, tile_offsets, ntx, nty, interpret,
@@ -381,6 +394,9 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
     n_tiles = ntx * nty
     chunk = CHUNK_STATIC
     rows = ROWS_FEAT if with_feat else ROWS_BASE
+    inst_phys = jnp.concatenate(
+        [inst_data, jnp.zeros((ROWS_PHYS - rows, inst_data.shape[1]),
+                              inst_data.dtype)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -395,19 +411,21 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, chunk), jnp.float32),
-            pltpu.VMEM((2, rows, chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS_PHYS, chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS_PHYS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dinst_raw = pl.pallas_call(
+    dinst_phys = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, ntx=ntx,
                           with_feat=with_feat),
-        out_shape=jax.ShapeDtypeStruct(inst_data.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ROWS_PHYS, inst_data.shape[1]),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_offsets, inst_data, out, gout, meta)
+    )(tile_offsets, inst_phys, out, gout, meta)
+    dinst_raw = dinst_phys[:rows]
     # The kernel writes only chunks it actually composited (< the stop
     # chunk k_star). Everything else — early-terminated chunks and the
     # instance-budget parking region — contains garbage memory; zero it
