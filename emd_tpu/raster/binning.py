@@ -197,10 +197,13 @@ def bin_gaussians(
     chunk: int | None = None,  # compositor DMA chunk (default CHUNK_STATIC)
     conics: jax.Array | None = None,      # (N, 3) enables the tight test
     opacities: jax.Array | None = None,   # (N,) post-compensation
+    interpret: bool | None = None,  # Pallas coverage kernel: auto on TPU
 ) -> Binning:
     if chunk is None:
         from .composite_pallas import CHUNK_STATIC
         chunk = CHUNK_STATIC
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = means2d.shape[0]
     ntx, nty = num_tiles(width, height, tile_size)
     n_tiles = ntx * nty
@@ -222,9 +225,23 @@ def bin_gaussians(
 
     if conics is not None:
         s_cut = opacity_sigma_cut(opacities, n, clamp=False)
-        mask_lo, mask_hi, counts = _coverage_mask(
-            means2d, jax.lax.stop_gradient(conics), s_cut,
-            tx0, ty0, w_t, h_t, tile_size)
+        if interpret:
+            mask_lo, mask_hi, counts = _coverage_mask(
+                means2d, jax.lax.stop_gradient(conics), s_cut,
+                tx0, ty0, w_t, h_t, tile_size)
+        else:
+            # register-resident Pallas walk (see coverage_pallas.py);
+            # raw small-path values, bbox fallback applied below
+            from .coverage_pallas import coverage_mask_pallas
+            lo, hi, cnt = coverage_mask_pallas(
+                means2d, jax.lax.stop_gradient(conics), s_cut,
+                tx0, ty0, w_t, h_t, tile_size)
+            wh = w_t * h_t
+            small = wh <= MASK_BITS
+            ones = jnp.uint32(0xFFFFFFFF)
+            mask_lo = jnp.where(small, lo, ones)
+            mask_hi = jnp.where(small, hi, ones)
+            counts = jnp.where(small, cnt, wh)
         counts = jnp.where(radii > 0, counts, 0)
     else:
         ones = jnp.full((n,), 0xFFFFFFFF, jnp.uint32)

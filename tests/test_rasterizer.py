@@ -272,3 +272,55 @@ def test_normals_channel():
     nrm2 = gaussian_normals(means, quats, scales,
                             jnp.asarray([0.0, 0.0, 10.0]))
     np.testing.assert_allclose(np.asarray(nrm2[:, 2]), 1.0, atol=1e-5)
+
+
+def test_coverage_pallas_matches_jnp():
+    """The Pallas coverage-mask walk (interpret mode on CPU) must be
+    bit-identical to the jnp `_coverage_mask` path after the bbox
+    fallback is applied."""
+    from emd_tpu.raster.binning import (MASK_BITS, _coverage_mask,
+                                        opacity_sigma_cut)
+    from emd_tpu.raster.coverage_pallas import coverage_mask_pallas
+
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 5)
+    n = 700  # non-multiple of the kernel block, exercises padding
+    width, height = 320, 256
+    ts = 16
+    ntx, nty = (width + ts - 1) // ts, (height + ts - 1) // ts
+    means = jnp.concatenate([
+        jax.random.uniform(ks[0], (n, 2), minval=-2.0, maxval=2.0),
+        jax.random.uniform(ks[1], (n, 1), minval=2.0, maxval=9.0),
+    ], axis=-1)
+    quats = random_quats(ks[2], n)
+    scales = jnp.exp(jax.random.uniform(ks[3], (n, 3), minval=-3.0,
+                                        maxval=-0.5))
+    opac = jax.random.uniform(ks[4], (n,), minval=0.05, maxval=0.95)
+    cam = make_camera(260.0, 260.0, width / 2, height / 2, jnp.eye(4),
+                      width, height)
+    proj = project_gaussians(means, quats, scales, cam.viewmat, cam.K,
+                             width, height, opacities=opac)
+    m2 = proj.means2d
+    r = proj.radii.astype(jnp.float32)
+    tx0 = jnp.clip(jnp.floor((m2[:, 0] - r) / ts), 0, ntx).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((m2[:, 0] + r) / ts), 0, ntx).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((m2[:, 1] - r) / ts), 0, nty).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((m2[:, 1] + r) / ts), 0, nty).astype(jnp.int32)
+    w_t, h_t = tx1 - tx0, ty1 - ty0
+    s_cut = opacity_sigma_cut(opac, n, clamp=False)
+
+    lo_j, hi_j, cnt_j = _coverage_mask(m2, proj.conics, s_cut, tx0, ty0,
+                                       w_t, h_t, ts)
+    lo_p, hi_p, cnt_p = coverage_mask_pallas(
+        m2, proj.conics, s_cut, tx0, ty0, w_t, h_t, ts, interpret=True)
+    wh = w_t * h_t
+    small = wh <= MASK_BITS
+    ones = jnp.uint32(0xFFFFFFFF)
+    lo_p = jnp.where(small, lo_p, ones)
+    hi_p = jnp.where(small, hi_p, ones)
+    cnt_p = jnp.where(small, cnt_p, wh)
+
+    assert int(jnp.sum(cnt_j)) > 0
+    np.testing.assert_array_equal(np.asarray(cnt_j), np.asarray(cnt_p))
+    np.testing.assert_array_equal(np.asarray(lo_j), np.asarray(lo_p))
+    np.testing.assert_array_equal(np.asarray(hi_j), np.asarray(hi_p))
