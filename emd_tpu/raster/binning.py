@@ -31,11 +31,13 @@ ZERO budget-sized scatters in either direction:
      radix-key trick) — carrying the owning gaussian id as payload.
   4. per-tile counts from the *sorted* keys via searchsorted (T+1 binary
      searches — no histogram scatter-add). The chunk-PADDED layout the
-     Pallas compositor consumes is built by BROADCAST, not scatter: all
-     per-chunk scalars (owning tile, source shift, valid end) live in
-     tiny (n_chunks,) arrays expanded by broadcasting, and the padded gid
-     array is one gather through the composed (padded slot -> sorted slot
-     -> pre slot -> gaussian) map.
+     Pallas compositor consumes is built by a SECOND fused sort: the
+     layout is a near-identity permutation (dst = slot + per-tile pad
+     shift), so every entry — real instances plus broadcast-generated
+     hole entries for the padding tails — carries its destination slot
+     as an i32 sort key and one more `jax.lax.sort` materializes the
+     padded gid array (~2.5 ms, vs 15.8 ms for the equivalent
+     budget-sized gather on a v5e chip).
 
 Gradients never flow through the index math, but the binning result
 carries per-gaussian segment bounds (`seg_starts/ends`) that let the
@@ -311,31 +313,45 @@ def bin_gaussians(
     tile_offsets = jnp.concatenate([
         jnp.zeros((1,), jnp.int32), jnp.cumsum(tc_pad).astype(jnp.int32)
     ])
-    m_pad = budget + n_tiles * (chunk - 1) + chunk
-    n_chunks = m_pad // chunk
+    m_pad = (budget + n_tiles * (chunk - 1) + chunk) // chunk * chunk
 
-    shift_tbl = jnp.append(tile_offsets[:n_tiles] - starts_t[:n_tiles],
-                           0)                           # (T+1,)
+    # ---- padded layout by a SECOND fused sort. The layout is a
+    # near-identity permutation — sorted slot s lands at
+    #   dst = s + (tile_offsets[t] - starts_t[t]) for t = tile_s[s]
+    # — and a budget-sized XLA gather through it measures 15.8 ms at
+    # 1.5M on a v5e chip (no fast path for near-sequential indices;
+    # tools/profile_layout.py). Instead: the per-slot shift is
+    # forward-filled with the same scatter-max + cummax trick as
+    # _gid_fill (the shift table is non-decreasing in t because padding
+    # only accumulates), hole entries carrying the dummy id are
+    # generated per tile by broadcast for the padding tails, and ONE
+    # i32-key sort (~2.5 ms at this scale) materializes the padded gid
+    # array directly: every real/hole entry carries its destination
+    # slot as the key, parked entries (key == m_pad) sink into the
+    # never-composited tail with the dummy payload.
+    shift_t = tile_offsets[:n_tiles] - starts_t[:n_tiles]   # (T,) nondecr
+    spos = jnp.minimum(starts_t[:n_tiles], budget)
+    sbuf = jnp.full((budget + 1,), -1, jnp.int32).at[spos].max(shift_t)
+    shift_s = jnp.maximum(jax.lax.cummax(sbuf[:budget], axis=0), 0)
+    real = slots < jnp.minimum(total, budget)
+    dst_real = jnp.where(real, slots + shift_s, m_pad)
 
-    # ---- padded layout by BROADCAST over (n_chunks, chunk): per-chunk
-    # owning tile -> per-chunk source base + valid end, no m_pad scatters
-    cid = jnp.arange(n_chunks, dtype=jnp.int32)
-    chunk_tile = jnp.clip(
-        jnp.searchsorted(tile_offsets, cid * chunk, side="right") - 1,
-        0, n_tiles)
-    c_shift = jnp.take(shift_tbl, jnp.minimum(chunk_tile, n_tiles))
-    seg_end = jnp.append(tile_offsets[:n_tiles] + tc, 0)  # padded-slot end
-    c_end = jnp.where(chunk_tile < n_tiles,
-                      jnp.take(seg_end, jnp.minimum(chunk_tile, n_tiles)),
-                      0)
-    o_local = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    o = cid[:, None] * chunk + o_local                  # (n_chunks, chunk)
-    src = (o - c_shift[:, None]).reshape(-1)            # sorted slot per o
-    valid_o = (o < c_end[:, None]).reshape(-1)
+    pad_t = tc_pad - tc                                      # (T,) < chunk
+    j = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    hole_dst = jnp.where(
+        j < pad_t[:, None],
+        (tile_offsets[:n_tiles] + tc)[:, None] + j,
+        m_pad).reshape(-1)                                   # (T*chunk,)
 
-    # padded slot -> sorted slot -> gaussian (gid_sorted rode the sort)
-    gid_pad = jnp.where(
-        valid_o, jnp.take(gid_sorted, jnp.clip(src, 0, budget - 1)), n)
+    keys = jnp.concatenate([dst_real, hole_dst])
+    payload = jnp.concatenate(
+        [gid_sorted, jnp.full((n_tiles * chunk,), n, jnp.int32)])
+    extra = max(0, m_pad - int(keys.shape[0]))   # tiny grids: T < chunk
+    if extra:
+        keys = jnp.concatenate([keys, jnp.full((extra,), m_pad, jnp.int32)])
+        payload = jnp.concatenate([payload, jnp.full((extra,), n, jnp.int32)])
+    _, gid_pad = jax.lax.sort((keys, payload), num_keys=1)
+    gid_pad = gid_pad[:m_pad]
 
     return Binning(
         gid=gid_pad,

@@ -10,12 +10,16 @@ Design (TPU-first, not a CUDA translation):
   vreg row per quantity). Per-tile instance segments come chunk-aligned
   from `binning.bin_gaussians`; the kernel walks its segment in CHUNK-sized
   pieces DMA'd from HBM with double buffering.
-- Front-to-back compositing is reformulated in log-transmittance space:
-    w_g = alpha_g * exp(S_g),  S_g = sum_{j<g} log(1 - alpha_j)
-  and the within-chunk prefix sum runs as a log2(CHUNK)-step Hillis-Steele
+- Front-to-back compositing: within a chunk the transmittance is a plain
+  prefix PRODUCT of (1 - alpha), run as a log2(CHUNK)-step Hillis-Steele
   scan on the VPU (cheaper than an f32 triangular matmul on the MXU);
-  color/depth accumulation stays a (3,C)@(C,1024) MXU matmul.
-  No sequential per-gaussian loop, no atomics.
+  only the per-pixel carry across chunks lives in log space,
+    w_g = alpha_g * exp(s) * prod_{j<g in chunk}(1 - alpha_j),
+    s += log(chunk product)
+  so the per-(instance,pixel) pair cost keeps a single transcendental
+  (the gaussian's own exp(-q/2)) — the log-space-everywhere formulation
+  paid log1p(-alpha) + exp per pair. Color/depth accumulation stays a
+  (3,C)@(C,1024) MXU matmul. No sequential per-gaussian loop, no atomics.
 - Early termination at chunk granularity: the walk stops once every pixel's
   transmittance falls below T_EPS (the CUDA rasterizers stop per-pixel at
   1e-4; chunk-level stopping drops contributions bounded by T_EPS).
@@ -117,9 +121,8 @@ def _alpha_terms(data, px, py, with_feat):
     clamp = alpha_raw > ALPHA_MAX
     alpha = jnp.where(skip, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
     live = jnp.logical_not(skip | clamp)  # where grads flow to alpha_raw
-    logom = jnp.log1p(-alpha)
     return dict(dx=dx, dy=dy, g=g, opa=opa, ca=ca, cb=cb, cc=cc,
-                alpha=alpha, live=live, logom=logom,
+                alpha=alpha, live=live, om=1.0 - alpha,
                 colors=data[:, 5:8], depth=data[:, 9:10],
                 feat=data[:, 10:13] if with_feat else None)
 
@@ -132,6 +135,34 @@ def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
     while shift < length:
         rolled = pltpu.roll(s, shift, axis=0)
         s = s + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return s
+
+
+# Per-chunk transmittance floor: a chunk whose (1-alpha) product falls
+# below this is clamped before the log that folds it into the running
+# per-pixel log-transmittance. Both kernels clamp identically, so the
+# backward's reverse reconstruction stays EXACT; the clamp drops s by
+# >= 69 in one chunk, so chunk-level early termination (T_EPS = 1e-5)
+# fires immediately after and the truncated tail (true T < 1e-30) is
+# below gradient noise.
+PROD_FLOOR = 1e-30
+
+
+def _exclusive_prod0(om: jax.Array, length: int) -> jax.Array:
+    """Exclusive prefix product along axis 0 (row i -> prod_{j<i} om[j])
+    via Hillis-Steele shifted multiplies. Multiplicative form: within a
+    chunk the transmittance ratio is a plain product, so the two per-pair
+    transcendentals of the log-space formulation (log1p(-alpha) and the
+    per-pair exp) collapse to ONE per-pixel exp/log pair per chunk at the
+    carry boundary — the per-pair cost keeps only the gaussian's own
+    exp(-q/2)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, om.shape, 0)
+    s = jnp.where(row >= 1, pltpu.roll(om, 1, axis=0), 1.0)
+    shift = 1
+    while shift < length:
+        rolled = pltpu.roll(s, shift, axis=0)
+        s = s * jnp.where(row >= shift, rolled, 1.0)
         shift *= 2
     return s
 
@@ -182,9 +213,9 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
 
         _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
         terms = _alpha_terms(buf[slot].T, px, py, with_feat)
-        logom = terms["logom"]
-        cum_in = _inclusive_scan0(logom, chunk)
-        w = terms["alpha"] * jnp.exp(s + cum_in - logom)  # exclusive scan
+        om = terms["om"]
+        pex = _exclusive_prod0(om, chunk)               # T_g / T_chunk_start
+        w = terms["alpha"] * (jnp.exp(s) * pex)         # exp: per PIXEL
         rgb = rgb + jnp.dot(terms["colors"].T, w,
                             preferred_element_type=jnp.float32,
                             precision=HP)
@@ -195,7 +226,8 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
             fea = fea + jnp.dot(terms["feat"].T, w,
                                 preferred_element_type=jnp.float32,
                                 precision=HP)
-        s = s + cum_in[chunk - 1:chunk, :]
+        prod = pex[chunk - 1:chunk, :] * om[chunk - 1:chunk, :]
+        s = s + jnp.log(jnp.maximum(prod, PROD_FLOOR))  # log: per PIXEL
         return c + 1, s, rgb, dep, fea
 
     init = (jnp.zeros((), jnp.int32),
@@ -263,11 +295,12 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
         terms = _alpha_terms(buf[slot].T, px, py, with_feat)
         alpha = terms["alpha"]
-        logom = terms["logom"]
-        cum_in = _inclusive_scan0(logom, chunk)
-        csum = cum_in[chunk - 1:chunk, :]
+        om = terms["om"]
+        pex = _exclusive_prod0(om, chunk)
+        prod = pex[chunk - 1:chunk, :] * om[chunk - 1:chunk, :]
+        csum = jnp.log(jnp.maximum(prod, PROD_FLOOR))  # matches fwd exactly
         s_start = s_end - csum
-        t_g = jnp.exp(s_start + cum_in - logom)            # (C, NPX)
+        t_g = jnp.exp(s_start) * pex                       # (C, NPX)
         w = alpha * t_g
         wbar = jnp.dot(terms["colors"], grgb,
                        preferred_element_type=jnp.float32, precision=HP) \
@@ -280,7 +313,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         # suffix-exclusive sum along C: chunk total - inclusive
         ww_in = _inclusive_scan0(ww, chunk)
         r = b + (ww_in[chunk - 1:chunk, :] - ww_in)
-        abar = t_g * wbar - r / (1.0 - alpha)
+        abar = t_g * wbar - r / om
         abar = jnp.where(terms["live"], abar, 0.0)
         common = abar * terms["opa"] * terms["g"]
         dx, dy = terms["dx"], terms["dy"]

@@ -64,6 +64,12 @@ class LoopConfig:
     metric_lag: int = 0
 
 
+def _every(step: int, interval: int) -> bool:
+    """True when `step` hits a positive `interval`; 0/negative disables
+    the periodic action instead of crashing the loop."""
+    return interval > 0 and step % interval == 0
+
+
 def _refresh_knn(state):
     """Rebuild cached KNN graphs for every class that uses one (rigid
     embedding reg, SMPL knn-consistency + embedding regs)."""
@@ -241,7 +247,7 @@ def fit_scene(
             state = _set_background(state, p, opt_bg, state.aux.bg_alive,
                                     state.dstate)
 
-        if step % loop.log_interval == 0:
+        if _every(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -250,10 +256,10 @@ def fit_scene(
                 step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
-                step % loop.eval_interval == 0:
+                _every(step, loop.eval_interval):
             eval_fn(state, step)
 
-        if step > 0 and step % loop.ckpt_interval == 0:
+        if step > 0 and _every(step, loop.ckpt_interval):
             drain()      # resume bit-identity: no un-applied errors
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
@@ -374,7 +380,7 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
         if (0 < step < loop.refine_stop
                 and step % loop.reset_opacity_interval == 0):
             state = reset_opacity_step(state)
-        if step % loop.log_interval == 0:
+        if _every(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -382,9 +388,9 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
                 # swap, so browser frames track training
                 step_hook(state, step)
         if eval_fn is not None and step > 0 and \
-                step % loop.eval_interval == 0:
+                _every(step, loop.eval_interval):
             eval_fn(state, step)
-        if step > 0 and step % loop.ckpt_interval == 0:
+        if step > 0 and _every(step, loop.ckpt_interval):
             save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                             (state.params, state.alive, state.motion,
                              state.step))
@@ -629,7 +635,7 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
             state = _set_background(state, p, opt_bg, state.aux.bg_alive,
                                     state.dstate)
 
-        if step % loop.log_interval == 0:
+        if _every(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -638,10 +644,10 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                 step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
-                step % loop.eval_interval == 0:
+                _every(step, loop.eval_interval):
             eval_fn(state, step)
 
-        if step > 0 and step % loop.ckpt_interval == 0:
+        if step > 0 and _every(step, loop.ckpt_interval):
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                 state, source, key)

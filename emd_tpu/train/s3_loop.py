@@ -20,6 +20,7 @@ from ..motion.embedding_reg import knn_graph
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger, setup_logging
 from .densify import DensifyConfig, refine, reset_opacity
+from .loop import _every
 from .optim import AdamState
 from .s3_trainer import (
     S3Params,
@@ -163,10 +164,10 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
                 and step % loop.grow_interval == 0):
             state = grow_points(state, loop, occ, logger, step)
 
-        if step % loop.log_interval == 0:
+        if _every(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
-        if step > 0 and step % loop.ckpt_interval == 0:
+        if step > 0 and _every(step, loop.ckpt_interval):
             save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                             (state.params, state.alive, state.step))
 
