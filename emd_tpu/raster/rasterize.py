@@ -62,12 +62,33 @@ def _expand_fwd(packed, binning):
     return expand_instances(packed, binning), (packed.shape, binning)
 
 
+def _cumsum_mxu(x: jax.Array) -> jax.Array:
+    """Inclusive row-wise cumsum of (R, M) via 128-wide blocks on the MXU:
+    intra-block prefixes are ONE (R*nb, 128) @ upper-triangular-ones
+    matmul, block offsets a tiny (R, nb) cumsum. XLA's native cumsum
+    lowers to a log-step shifted-add chain on the VPU (~10 ms for
+    (10, 2M) on a v5e chip); the matmul form is ~5 GFLOP of MXU work —
+    bandwidth-bound instead (~1 ms). Falls back to jnp.cumsum when M is
+    not 128-aligned (m_pad always is; see binning.bin_gaussians)."""
+    r, m = x.shape
+    if m % 128:
+        return jnp.cumsum(x, axis=1)
+    nb = m // 128
+    tri = jnp.triu(jnp.ones((128, 128), x.dtype))
+    intra = jnp.dot(x.reshape(r * nb, 128), tri,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).reshape(r, nb, 128)
+    totals = intra[:, :, -1]
+    offs = jnp.cumsum(totals, axis=1) - totals       # exclusive per block
+    return (intra + offs[:, :, None]).reshape(r, m)
+
+
 def _expand_bwd(res, g):
     shape, binning = res
     n_rows = shape[0]
     srt = jax.lax.sort((binning.gid,) + tuple(g), num_keys=1)
     g_grp = jnp.stack(srt[1:])                   # (n_rows, M_pad) gid-major
-    cs = jnp.cumsum(g_grp, axis=1)
+    cs = _cumsum_mxu(g_grp)
     # inclusive-cumsum segment difference WITHOUT materializing a
     # zero-prepended (n_rows, M_pad+1) copy of cs: gather at ends-1 /
     # starts-1 with clamped indices, guarding the empty-segment and
