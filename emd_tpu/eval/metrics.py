@@ -27,22 +27,40 @@ from ..train.losses import ssim as _ssim
 def psnr(pred, gt, mask=None) -> jax.Array:
     if mask is None:
         return _psnr(pred, gt)
+    # reference skips the metric entirely on an empty mask
+    # (OmniRe/models/video_utils.py:250,268); callers must guard, but an
+    # all-false mask here yields NaN rather than a silent 120 dB
     m = jnp.broadcast_to(mask[..., None], pred.shape)
-    mse = jnp.sum(((pred - gt) ** 2) * m) / jnp.maximum(jnp.sum(m), 1.0)
-    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+    n = jnp.sum(m)
+    mse = jnp.sum(((pred - gt) ** 2) * m) / jnp.maximum(n, 1.0)
+    val = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+    return jnp.where(n > 0, val, jnp.nan)
 
 
 def ssim(pred, gt, mask=None) -> jax.Array:
-    # masked SSIM: the reference computes SSIM on the masked crop; we use
-    # the SSIM map weighted by the mask (equivalent in expectation)
+    # masked SSIM: the reference computes the full per-pixel SSIM map
+    # (skimage structural_similarity full=True) and takes the mask-indexed
+    # mean (OmniRe/models/video_utils.py:256-263)
     if mask is None:
-        return _ssim(pred, gt)
+        return _ssim_map(pred, gt).mean()
     full = _ssim_map(pred, gt)
     m = jnp.broadcast_to(mask[..., None], full.shape)
-    return jnp.sum(full * m) / jnp.maximum(jnp.sum(m), 1.0)
+    n = jnp.sum(m)
+    val = jnp.sum(full * m) / jnp.maximum(n, 1.0)
+    return jnp.where(n > 0, val, jnp.nan)
 
 
 def _ssim_map(pred, gt, window=11, sigma=1.5, c1=0.01 ** 2, c2=0.03 ** 2):
+    """Per-pixel SSIM map with skimage-consistent moments.
+
+    Moments use REFLECT padding so every window is one normalized
+    non-negative weighting of real samples (scipy.ndimage filter
+    semantics, which skimage's structural_similarity builds on). That
+    makes blur(x^2) - mu^2 a true weighted variance (>= 0 up to fp
+    rounding, clamped), and Cauchy-Schwarz then bounds every map value
+    in [-1, 1] — zero padding broke both properties at the borders and
+    produced out-of-range masked means.
+    """
     from ..train.losses import _gaussian_window
 
     w = _gaussian_window(window, sigma)
@@ -51,15 +69,19 @@ def _ssim_map(pred, gt, window=11, sigma=1.5, c1=0.01 ** 2, c2=0.03 ** 2):
         def conv1d(x, axis):
             pad = [(0, 0)] * x.ndim
             pad[axis] = (window // 2, window // 2)
-            xp = jnp.pad(x, pad)
+            xp = jnp.pad(x, pad, mode="reflect")
             return jnp.apply_along_axis(
                 lambda v: jnp.convolve(v, w, mode="valid"), axis, xp)
         return conv1d(conv1d(img, 0), 1)
 
     mu_p, mu_g = blur(pred), blur(gt)
-    sp = blur(pred * pred) - mu_p ** 2
-    sg = blur(gt * gt) - mu_g ** 2
+    sp = jnp.maximum(blur(pred * pred) - mu_p ** 2, 0.0)
+    sg = jnp.maximum(blur(gt * gt) - mu_g ** 2, 0.0)
     spg = blur(pred * gt) - mu_p * mu_g
+    # fp rounding can leave |spg| marginally above sqrt(sp*sg); clamp so
+    # the Cauchy-Schwarz bound (and with it |SSIM| <= 1) is exact
+    lim = jnp.sqrt(sp * sg)
+    spg = jnp.clip(spg, -lim, lim)
     return ((2 * mu_p * mu_g + c1) * (2 * spg + c2)
             / ((mu_p ** 2 + mu_g ** 2 + c1) * (sp + sg + c2)))
 
@@ -163,8 +185,9 @@ def metric_suite(pred, gt, sky_mask=None, dynamic_mask=None,
     }
     if sky_mask is not None:
         occ = ~sky_mask
-        out["occupied_psnr"] = float(psnr(pred, gt, occ))
-        out["occupied_ssim"] = float(ssim(pred, gt, occ))
+        if bool(jnp.any(occ)):
+            out["occupied_psnr"] = float(psnr(pred, gt, occ))
+            out["occupied_ssim"] = float(ssim(pred, gt, occ))
     for name, m in (("dynamic", dynamic_mask), ("human", human_mask),
                     ("vehicle", vehicle_mask)):
         if m is not None and bool(jnp.any(m)):

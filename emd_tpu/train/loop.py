@@ -64,7 +64,7 @@ class LoopConfig:
     metric_lag: int = 0
 
 
-def _every(step: int, interval: int) -> bool:
+def every_interval(step: int, interval: int) -> bool:
     """True when `step` hits a positive `interval`; 0/negative disables
     the periodic action instead of crashing the loop."""
     return interval > 0 and step % interval == 0
@@ -188,7 +188,7 @@ def fit_scene(
         # pytree (None -> arrays), so doing it up-front avoids a retrace.
         if ((state.params.rigid is not None
              or state.params.smpl is not None)
-                and step % loop.knn_refresh_interval == 0):
+                and every_interval(step, loop.knn_refresh_interval)):
             state = _refresh_knn(state)
 
         vi, f, c, batch = source.next_train("scene")
@@ -211,7 +211,7 @@ def fit_scene(
                            step, new_budget)
 
         if (loop.refine_start <= step < loop.refine_stop
-                and step % loop.refine_interval == 0):
+                and every_interval(step, loop.refine_interval)):
             # screen-size culling arms after the first opacity reset
             # (vanilla.py:304-331 refine_scale2d_stop_at semantics)
             use_screen = step > loop.reset_opacity_interval
@@ -241,13 +241,13 @@ def fit_scene(
                                      use_screen=use_screen)
 
         if (0 < step < loop.refine_stop
-                and step % loop.reset_opacity_interval == 0):
+                and every_interval(step, loop.reset_opacity_interval)):
             p, opt_bg = reset_opacity(state.params.background,
                                       _opt_background(state))
             state = _set_background(state, p, opt_bg, state.aux.bg_alive,
                                     state.dstate)
 
-        if _every(step, loop.log_interval):
+        if every_interval(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -256,10 +256,10 @@ def fit_scene(
                 step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
-                _every(step, loop.eval_interval):
+                every_interval(step, loop.eval_interval):
             eval_fn(state, step)
 
-        if step > 0 and _every(step, loop.ckpt_interval):
+        if step > 0 and every_interval(step, loop.ckpt_interval):
             drain()      # resume bit-identity: no un-applied errors
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
@@ -369,7 +369,7 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
         metrics_log.update(loss=m["loss"], psnr=m["psnr"])
 
         if (loop.refine_start <= step < loop.refine_stop
-                and step % loop.refine_interval == 0):
+                and every_interval(step, loop.refine_interval)):
             key, sub = jax.random.split(key)
             use_screen = step > loop.reset_opacity_interval
             state, st = refine_step(sub, state, cfg, scene_scale,
@@ -378,9 +378,9 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
                         step, int(st["n_split"]), int(st["n_dup"]),
                         int(st["n_culled"]), int(st["n_alive"]))
         if (0 < step < loop.refine_stop
-                and step % loop.reset_opacity_interval == 0):
+                and every_interval(step, loop.reset_opacity_interval)):
             state = reset_opacity_step(state)
-        if _every(step, loop.log_interval):
+        if every_interval(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -388,9 +388,9 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
                 # swap, so browser frames track training
                 step_hook(state, step)
         if eval_fn is not None and step > 0 and \
-                _every(step, loop.eval_interval):
+                every_interval(step, loop.eval_interval):
             eval_fn(state, step)
-        if step > 0 and _every(step, loop.ckpt_interval):
+        if step > 0 and every_interval(step, loop.ckpt_interval):
             save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                             (state.params, state.alive, state.motion,
                              state.step))
@@ -582,7 +582,7 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
     step_sig = None
     for step in range(start_step, loop.max_steps):
         if (state.params.rigid is not None
-                and step % loop.knn_refresh_interval == 0):
+                and every_interval(step, loop.knn_refresh_interval)):
             idx, w = knn_graph(
                 np.asarray(state.params.rigid.gauss.means),
                 np.asarray(state.aux.rigid_alive), k=8)
@@ -614,7 +614,7 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                            "(raise SceneConfig.budget)", step)
 
         if (loop.refine_start <= step < loop.refine_stop
-                and step % loop.refine_interval == 0):
+                and every_interval(step, loop.refine_interval)):
             key, sub = jax.random.split(key)
             out = refine(sub, state.params.background, state.aux.bg_alive,
                          _opt_background(state), state.dstate["background"],
@@ -629,13 +629,13 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                 state = _refine_rigid(state, sub, scene_scale, logger, step)
 
         if (0 < step < loop.refine_stop
-                and step % loop.reset_opacity_interval == 0):
+                and every_interval(step, loop.reset_opacity_interval)):
             p, opt_bg = reset_opacity(state.params.background,
                                       _opt_background(state))
             state = _set_background(state, p, opt_bg, state.aux.bg_alive,
                                     state.dstate)
 
-        if _every(step, loop.log_interval):
+        if every_interval(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
             if step_hook is not None:
@@ -644,10 +644,10 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                 step_hook(state, step)
 
         if eval_fn is not None and step > 0 and \
-                _every(step, loop.eval_interval):
+                every_interval(step, loop.eval_interval):
             eval_fn(state, step)
 
-        if step > 0 and _every(step, loop.ckpt_interval):
+        if step > 0 and every_interval(step, loop.ckpt_interval):
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                 state, source, key)

@@ -20,7 +20,7 @@ from ..motion.embedding_reg import knn_graph
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger, setup_logging
 from .densify import DensifyConfig, refine, reset_opacity
-from .loop import _every
+from .loop import every_interval
 from .optim import AdamState
 from .s3_trainer import (
     S3Params,
@@ -112,7 +112,7 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     key = jax.random.PRNGKey(loop.seed)
 
     for step in range(loop.max_steps):
-        if step % loop.knn_refresh_interval == 0:
+        if every_interval(step, loop.knn_refresh_interval):
             idx, w = knn_graph(np.asarray(state.params.gauss.means),
                                np.asarray(state.alive), k=8)
             state = state._replace(knn=(jnp.asarray(idx), jnp.asarray(w)))
@@ -129,7 +129,7 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
             logger.warning("step %d: instance budget overflow", step)
 
         if (loop.refine_start <= step < loop.refine_stop
-                and step % loop.refine_interval == 0):
+                and every_interval(step, loop.refine_interval)):
             key, sub = jax.random.split(key)
             # densify (gauss ++ embeddings) together so children inherit
             # their parent's motion embedding (the reference carries
@@ -156,18 +156,18 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
                         step, *map(int, stats))
 
         if (0 < step < loop.refine_stop
-                and step % loop.reset_opacity_interval == 0):
+                and every_interval(step, loop.reset_opacity_interval)):
             g, opt_g = reset_opacity(state.params.gauss, _gauss_opt(state))
             state = _set_gauss(state, g, opt_g, state.alive, state.dstate)
 
         if (loop.grow_interval > 0 and step >= loop.grow_start
-                and step % loop.grow_interval == 0):
+                and every_interval(step, loop.grow_interval)):
             state = grow_points(state, loop, occ, logger, step)
 
-        if _every(step, loop.log_interval):
+        if every_interval(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))
             metrics_log.dump(step)
-        if step > 0 and _every(step, loop.ckpt_interval):
+        if step > 0 and every_interval(step, loop.ckpt_interval):
             save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                             (state.params, state.alive, state.step))
 

@@ -43,6 +43,51 @@ def test_masked_psnr_localizes_error():
     assert float(psnr(pred, gt, top)) < float(psnr(pred, gt, ~top)) - 20
 
 
+def test_masked_ssim_bounded():
+    """Masked SSIM must stay in [-1, 1] even on adversarial inputs —
+    round 2 produced occupied_ssim = -2.0 from zero-padded border
+    moments (VERDICT weak #2)."""
+    key = jax.random.PRNGKey(3)
+    h, w = 24, 32
+    cases = []
+    # hard border discontinuity: bright frame, dark interior
+    gt = jnp.ones((h, w, 3))
+    pred = jnp.zeros((h, w, 3)).at[2:-2, 2:-2].set(1.0)
+    cases.append((pred, gt))
+    # random HDR-ish values (out of [0,1])
+    k1, k2 = jax.random.split(key)
+    cases.append((4.0 * jax.random.normal(k1, (h, w, 3)),
+                  4.0 * jax.random.normal(k2, (h, w, 3))))
+    # anti-correlated
+    a = jax.random.uniform(k1, (h, w, 3))
+    cases.append((a, 1.0 - a))
+    # constant images (zero variance everywhere)
+    cases.append((jnp.full((h, w, 3), 0.3), jnp.full((h, w, 3), 0.9)))
+    masks = [
+        jnp.ones((h, w), bool),
+        jnp.zeros((h, w), bool).at[0, :].set(True),    # border row only
+        jnp.zeros((h, w), bool).at[:, -1].set(True),   # border col only
+        jnp.zeros((h, w), bool).at[5, 7].set(True),    # single pixel
+    ]
+    for pred, gt in cases:
+        for m in masks:
+            v = float(ssim(pred, gt, m))
+            assert -1.0 - 1e-5 <= v <= 1.0 + 1e-5, v
+        v = float(ssim(pred, gt))
+        assert -1.0 - 1e-5 <= v <= 1.0 + 1e-5, v
+
+
+def test_empty_mask_metrics_guarded():
+    """All-false masks: psnr/ssim return NaN (not a silent 120 dB) and
+    metric_suite omits the occupied row."""
+    gt = jnp.zeros((16, 16, 3))
+    empty = jnp.zeros((16, 16), bool)
+    assert np.isnan(float(psnr(gt, gt, empty)))
+    assert np.isnan(float(ssim(gt, gt, empty)))
+    out = metric_suite(gt, gt, sky_mask=jnp.ones((16, 16), bool))
+    assert "occupied_psnr" not in out and "occupied_ssim" not in out
+
+
 def test_lpips_proxy():
     net = Lpips.random_features(0)
     key = jax.random.PRNGKey(1)
