@@ -102,6 +102,9 @@ class Lpips(NamedTuple):
     convs: tuple          # per stage (w (kh,kw,cin,cout), b (cout,))
     lins: tuple           # per stage 1x1 weights (cout,)
     pools: tuple          # maxpool flags per stage
+    calibrated: bool = False   # True when loaded from real pretrained
+    #                            weights (reported as `lpips`, not
+    #                            `lpips_rand`)
 
     @staticmethod
     def random_features(seed: int = 0) -> "Lpips":
@@ -123,7 +126,9 @@ class Lpips(NamedTuple):
     @staticmethod
     def from_file(path: str) -> "Lpips":
         """Load real AlexNet+LPIPS weights from an npz with keys
-        conv{i}_w (kh,kw,cin,cout), conv{i}_b, lin{i} (cout,)."""
+        conv{i}_w (kh,kw,cin,cout), conv{i}_b, lin{i} (cout,) — produced
+        from the standard torchvision/richzhang checkpoints by
+        tools/convert_lpips.py."""
         import numpy as np
         data = np.load(path)
         convs, lins, pools = [], [], []
@@ -133,7 +138,7 @@ class Lpips(NamedTuple):
             lins.append(jnp.asarray(data[f"lin{i}"]))
             pools.append(i in (0, 1))
         return Lpips(convs=tuple(convs), lins=tuple(lins),
-                     pools=tuple(pools))
+                     pools=tuple(pools), calibrated=True)
 
 
 def _norm_input(img):
@@ -194,5 +199,6 @@ def metric_suite(pred, gt, sky_mask=None, dynamic_mask=None,
             out[f"{name}_psnr"] = float(psnr(pred, gt, m))
             out[f"{name}_ssim"] = float(ssim(pred, gt, m))
     if lpips_net is not None:
-        out["lpips_rand"] = float(lpips_distance(lpips_net, pred, gt))
+        key = "lpips" if lpips_net.calibrated else "lpips_rand"
+        out[key] = float(lpips_distance(lpips_net, pred, gt))
     return out

@@ -48,14 +48,16 @@ def embedding_knn_loss(embeddings: jax.Array, nn_idx: jax.Array,
 
 
 def scale_percentile_reg(log_scales: jax.Array, alive: jax.Array,
-                         percentile: float = 0.95) -> jax.Array:
-    """Penalize the largest scales beyond the alive-set percentile
-    (rigid.py compute_reg_loss scaling term)."""
-    s = jnp.exp(jnp.max(log_scales, axis=-1))
+                         percentile: float = 0.99) -> jax.Array:
+    """Penalize scale PRODUCTS beyond the alive-set percentile — the
+    reference's scaling_reg (rigid.py compute_reg_loss:637-649:
+    scale_prod = scales.prod(-1), p = kthvalue(prod, N*precentile),
+    relu(prod - p).mean())."""
+    prod = jnp.exp(jnp.sum(log_scales, axis=-1))   # product of 3 scales
     # dead slots enter as 0.0 — they bias the percentile low, which only
     # makes the penalty slightly stricter and keeps the op jit-friendly
     # (nan-aware quantile would need a dynamic alive count)
-    s_alive = jnp.where(alive, s, 0.0)
-    thresh = jnp.percentile(s_alive, percentile * 100.0)
-    pen = jnp.maximum(s_alive - thresh, 0.0)
+    p_alive = jnp.where(alive, prod, 0.0)
+    thresh = jnp.percentile(p_alive, percentile * 100.0)
+    pen = jnp.maximum(p_alive - thresh, 0.0)
     return jnp.sum(pen) / jnp.maximum(jnp.sum(alive), 1.0)

@@ -160,9 +160,18 @@ def inverse_depth_smoothness(depth: jax.Array, image: jax.Array) -> jax.Array:
 
 def scale_reg(scales: jax.Array, alive: jax.Array,
               max_ratio: float = 10.0) -> jax.Array:
-    """Anisotropy penalty: max/min scale ratio above threshold
-    (vanilla.py compute_reg_loss scale ratio term)."""
+    """Anisotropy penalty: max/min scale ratio above threshold — the
+    reference's sharp_shape_reg (vanilla.py compute_reg_loss:418-429,
+    relu(amax/amin - max_gauss_ratio) mean)."""
     ratio = jnp.max(scales, axis=-1) / jnp.maximum(
         jnp.min(scales, axis=-1), 1e-8)
     pen = jnp.maximum(ratio - max_ratio, 0.0) * alive
+    return jnp.sum(pen) / jnp.maximum(jnp.sum(alive), 1.0)
+
+
+def max_s_square_reg(log_scales: jax.Array, alive: jax.Array) -> jax.Array:
+    """Mean squared max-scale (vanilla.py compute_reg_loss:449-451
+    max_s_square_reg: mean(get_scaling.max(dim=1)^2) * w)."""
+    s = jnp.exp(jnp.max(log_scales, axis=-1))
+    pen = (s * s) * alive
     return jnp.sum(pen) / jnp.maximum(jnp.sum(alive), 1.0)

@@ -57,6 +57,21 @@ class SceneTrainConfig:
     w_smpl_x_offset: float = 0.2        # x_offset w
     w_smpl_voxel: float = 0.6           # voxel_deformer_reg lambda_std_w
     w_smpl_scale: float = 0.05          # max_s_square_reg w
+    # sharp_shape_reg — every class in the paper config (omnire.yaml
+    # :86-89,:114,:190,:225: w=1 every 10 steps, max ratio 10)
+    w_sharp_shape: float = 1.0
+    sharp_shape_interval: int = 10
+    max_gauss_ratio: float = 10.0
+    # scaling_reg (percentile, rigid.py:637-649) with start/stop step
+    # gating; the paper config enables it for SMPL only (omnire.yaml
+    # :229-233: w=1, percentile .99, 6000 < step < 30000) but any class
+    # can opt in per config
+    w_scaling_background: float = 0.0
+    w_scaling_rigid: float = 0.0
+    w_scaling_smpl: float = 1.0
+    scaling_percentile: float = 0.99
+    scaling_start_after: int = 6_000
+    scaling_stop_after: int = 30_000
     # group LRs (omnire.yaml:42-56 + :124-152, :201-218)
     lr_means: float = 1.6e-4           # * scene_scale, expon -> 1%
     lr_scales: float = 5e-3
@@ -215,9 +230,41 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
         ld["smooth"] = cfg.w_smooth * losses.inverse_depth_smoothness(
             out.depth / jnp.maximum(out.alpha, 1e-3), out.rgb)
     # per-class regs (compute_reg_loss protocol, base.py:616-619)
+    # sharp_shape_reg on every class, active every step_interval steps
+    # (vanilla.py:418-429; traced-step gating stays jit-friendly as a
+    # 0/1 multiplier)
+    scaling_gate = ((step > cfg.scaling_start_after)
+                    & (step < cfg.scaling_stop_after)).astype(jnp.float32)
+    if cfg.w_sharp_shape > 0:
+        sharp_gate = (step % cfg.sharp_shape_interval == 0
+                      ).astype(jnp.float32)
+        sharp = losses.scale_reg(
+            jnp.exp(params.background.log_scales), aux.bg_alive,
+            cfg.max_gauss_ratio)
+        for block, al in ((params.rigid, aux.rigid_alive if params.rigid
+                           is not None else None),
+                          (params.deformable, aux.deform_alive
+                           if params.deformable is not None else None),
+                          (params.smpl, aux.smpl_alive
+                           if params.smpl is not None else None)):
+            if block is None:
+                continue
+            g = block.gauss if hasattr(block, "gauss") else block.rigid.gauss
+            sharp = sharp + losses.scale_reg(jnp.exp(g.log_scales), al,
+                                             cfg.max_gauss_ratio)
+        ld["sharp_shape"] = cfg.w_sharp_shape * sharp_gate * sharp
+    if cfg.w_scaling_background > 0:
+        ld["bg_scaling"] = cfg.w_scaling_background * scaling_gate * \
+            scale_percentile_reg(params.background.log_scales,
+                                 aux.bg_alive, cfg.scaling_percentile)
     if params.rigid is not None:
         ld["rigid_temporal"] = cfg.w_rigid_temporal * \
             temporal_smoothness_reg(params.rigid, aux.rigid_aux)
+        if cfg.w_scaling_rigid > 0:
+            ld["rigid_scaling"] = cfg.w_scaling_rigid * scaling_gate * \
+                scale_percentile_reg(params.rigid.gauss.log_scales,
+                                     aux.rigid_alive,
+                                     cfg.scaling_percentile)
         if knn is not None and "rigid" in knn:
             idx, w = knn["rigid"]
             ld["rigid_emb_knn"] = cfg.w_embedding_knn * \
@@ -235,8 +282,16 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
             joint_smoothness_reg(params.smpl)
         ld["smpl_x_offset"] = cfg.w_smpl_x_offset * x_offset_reg(
             params.smpl, aux.smpl_aux, aux.smpl_alive)
-        ld["smpl_scale"] = cfg.w_smpl_scale * scale_percentile_reg(
+        # max_s_square_reg (w=0.05) AND the gated percentile scaling_reg
+        # (w=1, 6000<step<30000) are SEPARATE terms in the reference's
+        # SMPL reg block (omnire.yaml:229-233,:250-251)
+        ld["smpl_scale"] = cfg.w_smpl_scale * losses.max_s_square_reg(
             params.smpl.rigid.gauss.log_scales, aux.smpl_alive)
+        if cfg.w_scaling_smpl > 0:
+            ld["smpl_scaling"] = cfg.w_scaling_smpl * scaling_gate * \
+                scale_percentile_reg(params.smpl.rigid.gauss.log_scales,
+                                     aux.smpl_alive,
+                                     cfg.scaling_percentile)
         if knn is not None and "smpl" in knn:
             idx, w = knn["smpl"]
             ld["smpl_knn"] = cfg.w_smpl_knn * knn_consistency_reg(

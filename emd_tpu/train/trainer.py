@@ -294,31 +294,49 @@ def refine_step(key: jax.Array, state: TrainState, cfg: TrainConfig,
                 ) -> tuple[TrainState, dict[str, Any]]:
     extra_candidate = extra_split = None
     carrier = state.params
+    carrier_opt = state.opt
     if isinstance(state.motion, PvgMotion):
         # PVG tau-grad trigger + temporal-size split (pvg.py:166-199);
-        # the temporal params ride as refine extras so children inherit
+        # the temporal params ride as refine extras so children inherit,
+        # and their Adam moments ride along too so the optimizer surgery
+        # is ROW surgery on touched slots only — the reference never
+        # resets untouched rows (gaussian_model.py:479-556 cat/prune
+        # semantics)
         carrier = (state.params, state.motion.taus, state.motion.log_betas,
                    state.motion.velocity)
+        carrier_opt = AdamState(
+            mu=(state.opt.mu, state.mopt.mu.taus,
+                state.mopt.mu.log_betas, state.mopt.mu.velocity),
+            nu=(state.opt.nu, state.mopt.nu.taus,
+                state.mopt.nu.log_betas, state.mopt.nu.velocity),
+            step=state.opt.step)
         t_avg = state.dstate.t_grad / jnp.maximum(
             state.dstate.count.astype(jnp.float32), 1.0)
         high_t = t_avg > cfg.densify_t_grad_thresh
         extra_candidate = high_t
         extra_split = high_t & (jnp.exp(state.motion.log_betas)
                                 > cfg.densify_t_size_thresh)
-    out = refine(key, carrier, state.alive, state.opt, state.dstate,
+    out = refine(key, carrier, state.alive, carrier_opt, state.dstate,
                  cfg.densify, scene_scale, use_screen_cull,
                  extra_candidate=extra_candidate, extra_split=extra_split)
     new_motion, new_mopt = state.motion, state.mopt
+    new_opt = out.opt
     if isinstance(state.motion, PvgMotion):
         gauss, taus, log_betas, velocity = out.params
         new_motion = PvgMotion(taus=taus, log_betas=log_betas,
                                velocity=velocity)
-        new_mopt = jax.tree.map(jnp.zeros_like, state.mopt)._replace(
+        new_opt = AdamState(mu=out.opt.mu[0], nu=out.opt.nu[0],
+                            step=out.opt.step)
+        new_mopt = AdamState(
+            mu=PvgMotion(taus=out.opt.mu[1], log_betas=out.opt.mu[2],
+                         velocity=out.opt.mu[3]),
+            nu=PvgMotion(taus=out.opt.nu[1], log_betas=out.opt.nu[2],
+                         velocity=out.opt.nu[3]),
             step=state.mopt.step)
         new_params = gauss
     else:
         new_params = out.params
-    new_state = TrainState(params=new_params, alive=out.alive, opt=out.opt,
+    new_state = TrainState(params=new_params, alive=out.alive, opt=new_opt,
                            dstate=out.dstate, step=state.step,
                            motion=new_motion, mopt=new_mopt)
     stats = dict(n_split=out.n_split, n_dup=out.n_dup, n_culled=out.n_culled,

@@ -101,6 +101,49 @@ def test_lpips_proxy():
     assert float(lpips_distance(net, a, shifted)) < diff
 
 
+def test_lpips_converter_roundtrip(tmp_path):
+    """tools/convert_lpips.py: synthetic torch-format checkpoints ->
+    npz -> Lpips.from_file, weights identical and distance(a,a)=0."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from convert_lpips import ALEX_CHANNELS, ALEX_FEATURE_IDX, convert
+
+    rng = np.random.default_rng(0)
+    ksizes = (11, 5, 3, 3, 3)
+    alex_sd, lpips_sd = {}, {}
+    cin = 3
+    for i, j in enumerate(ALEX_FEATURE_IDX):
+        cout = ALEX_CHANNELS[i]
+        alex_sd[f"features.{j}.weight"] = rng.normal(
+            size=(cout, cin, ksizes[i], ksizes[i])).astype(np.float32)
+        alex_sd[f"features.{j}.bias"] = rng.normal(
+            size=(cout,)).astype(np.float32)
+        lpips_sd[f"lin{i}.model.1.weight"] = np.abs(rng.normal(
+            size=(1, cout, 1, 1))).astype(np.float32)
+        cin = cout
+    out = convert(alex_sd, lpips_sd)
+    path = str(tmp_path / "lpips.npz")
+    np.savez(path, **out)
+    net = Lpips.from_file(path)
+    # key-by-key: OIHW -> HWIO transpose, squeezed lin
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(net.convs[i][0]),
+            np.transpose(alex_sd[f"features.{ALEX_FEATURE_IDX[i]}.weight"],
+                         (2, 3, 1, 0)))
+        np.testing.assert_array_equal(
+            np.asarray(net.lins[i]),
+            lpips_sd[f"lin{i}.model.1.weight"].reshape(-1))
+    a = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    assert float(lpips_distance(net, a, a)) < 1e-6
+    assert float(lpips_distance(net, a, 1.0 - a)) > 1e-4
+    # reference-renamed lin keys ({i}.1.weight) accepted too
+    renamed = {f"{i}.1.weight": lpips_sd[f"lin{i}.model.1.weight"]
+               for i in range(5)}
+    out2 = convert(alex_sd, renamed)
+    np.testing.assert_array_equal(out2["lin3"], out["lin3"])
+
+
 def test_trajectories():
     scene, _ = make_synthetic_scene(n_frames=6, n_cams=1, width=32,
                                     height=24, n_lidar=200)

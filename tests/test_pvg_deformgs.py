@@ -118,9 +118,11 @@ def test_pvg_background_trains_and_densifies():
     # PVG-specific densify stat accumulated
     assert float(state.dstate.t_grad.max()) > 0
 
-    # force the tau-grad trigger: huge t_grad, tiny spatial grads
+    # force the tau-grad trigger on half the alive rows: huge t_grad,
+    # tiny spatial grads (the untouched half verifies row surgery below)
+    half = jnp.arange(state.alive.shape[0]) % 2 == 0
     state = state._replace(dstate=state.dstate._replace(
-        t_grad=jnp.where(state.alive, 1e3, 0.0),
+        t_grad=jnp.where(state.alive & half, 1e3, 0.0),
         grad_accum=jnp.zeros_like(state.dstate.grad_accum)))
     cfg2 = dc.replace(cfg, densify_t_grad_thresh=1e-6)
     state2, st = refine_step(jax.random.PRNGKey(1), state, cfg2, 1.0)
@@ -128,6 +130,17 @@ def test_pvg_background_trains_and_densifies():
     # children inherited temporal params (capacity rows stay aligned)
     assert state2.motion.taus.shape == state.motion.taus.shape
     assert bool(jnp.all(jnp.isfinite(state2.motion.velocity)))
+    # motion-Adam ROW surgery, not a wholesale reset (reference only
+    # prunes/dups rows, gaussian_model.py:479-556): untouched alive rows
+    # keep their moments
+    touched = np.asarray(state2.alive) != np.asarray(state.alive)
+    keep = np.asarray(state.alive) & np.asarray(state2.alive) & ~touched
+    mu_before = np.asarray(state.mopt.mu.taus)
+    mu_after = np.asarray(state2.mopt.mu.taus)
+    nonzero_keep = keep & (mu_before != 0)
+    assert nonzero_keep.sum() > 0
+    np.testing.assert_array_equal(mu_after[nonzero_keep],
+                                  mu_before[nonzero_keep])
 
 
 def test_deformgs_background_trains():

@@ -171,6 +171,12 @@ def test_scene_training_improves_dynamic_scene():
         assert bool(jnp.isfinite(metrics["loss"]))
         if first is None:
             first = float(metrics["psnr"])
+            # sharp_shape_reg fires on step 0 (interval 10); the gated
+            # percentile scaling_reg must NOT before scaling_start_after
+            assert "sharp_shape" in metrics
+            assert float(metrics["sharp_shape"]) >= 0.0
+            if "rigid_scaling" in metrics:
+                assert float(metrics["rigid_scaling"]) == 0.0
     last = float(metrics["psnr"])
     assert last > first + 1.0, f"PSNR {first:.2f} -> {last:.2f}"
     # instance track moved toward truth

@@ -28,6 +28,10 @@ def main():
                              "change_lane_left", "change_lane_right",
                              "s_curve"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lpips", type=str, default=None,
+                    help="npz of calibrated LPIPS weights (from "
+                         "tools/convert_lpips.py); default: seeded "
+                         "random-feature proxy (lpips_rand)")
     ap.add_argument("--report", action="store_true",
                     help="write a standalone interactive HTML viewer "
                          "(camera x time x layer scrubbers)")
@@ -67,10 +71,13 @@ def main():
     else:
         params, aux, step = load_checkpoint(args.ckpt,
                                             (params0, aux0, step0))
+    from emd_tpu.eval import Lpips
+    lpips_net = (Lpips.from_file(args.lpips) if args.lpips
+                 else Lpips.random_features(args.seed))
     cfg = SceneConfig(budget=args.budget)
     src = BatchSource(scene, test_stride=args.test_stride)
     results = do_evaluation(params, aux, cfg, src, args.out,
-                            step=int(step))
+                            lpips_net=lpips_net, step=int(step))
     print("test:", results["test"])
 
     if args.trajectory:
