@@ -71,6 +71,10 @@ class S3TrainConfig:
     w_time_smooth: float = 1e-3
     w_time_l1: float = 1e-4
     w_emb_knn: float = 1.0
+    # opacity-ratio blending of the static and deformed copies in the
+    # fine stage (gaussian_renderer/__init__.py:114-138
+    # args.combine_dynamic_static)
+    combine_dynamic_static: bool = False
     # LRs (gaussian_model.training_setup:181-219)
     lr_means: float = 1.6e-4          # * spatial scale, expon
     lr_scales: float = 5e-3
@@ -82,6 +86,21 @@ class S3TrainConfig:
     lr_field_mlp: float = 1.6e-3      # deformation MLP, expon -> 10%
     lr_field_grid: float = 1.6e-2     # hexplane grids, expon -> 10%
     lr_sky: float = 5e-3
+
+
+def combine_static_dynamic(logit_op_dyn, logit_op_static, shs_dyn,
+                           shs_static):
+    """Opacity-ratio blend of the deformed and raw copies
+    (S3Gaussian/gaussian_renderer/__init__.py:114-138): activated
+    opacities ADD, SH coefficients mix by each copy's share of the sum.
+    Returns (opacity (N,), shs (N, K, 3)) — opacity is post-activation
+    (the sum of two sigmoids is not a sigmoid)."""
+    o_dyn = jax.nn.sigmoid(logit_op_dyn)
+    o_static = jax.nn.sigmoid(logit_op_static)
+    total = o_dyn + o_static
+    dyn_ratio = (o_dyn / jnp.maximum(total, 1e-12))[:, None, None]
+    shs = shs_dyn * dyn_ratio + shs_static * (1.0 - dyn_ratio)
+    return total, shs
 
 
 class S3Batch(NamedTuple):
@@ -152,6 +171,7 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
     shs_raw = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
 
     deform = None
+    opac_override = None
     if fine_stage:
         deform = apply_s3_field(
             params.field, cfg.field, g.means, g.log_scales,
@@ -162,6 +182,11 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
         quats = deform.quats
         logit_op = g.logit_opacities + deform.opacity_delta[:, 0]
         shs = shs_raw + deform.shs_delta
+        if cfg.combine_dynamic_static:
+            # opacity-ratio blend with the raw static copy
+            # (__init__.py:114-138); geometry stays the deformed one
+            opac_override, shs = combine_static_dynamic(
+                logit_op, g.logit_opacities, shs, shs_raw)
     else:
         means = g.means
         log_scales = g.log_scales
@@ -177,7 +202,10 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, -1, keepdims=True), 1e-8)
     deg = int(round(shs.shape[1] ** 0.5)) - 1
     colors = eval_sh(shs, dirs, deg)
-    opac = jnp.where(alive, jax.nn.sigmoid(logit_op), 0.0)
+    opac = jnp.where(
+        alive,
+        jax.nn.sigmoid(logit_op) if opac_override is None
+        else opac_override, 0.0)
 
     features = deform.feat if (deform is not None
                                and deform.feat is not None) else None

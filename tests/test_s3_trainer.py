@@ -61,6 +61,49 @@ def test_render_s3_stages_differ():
     assert float(jnp.abs(d_f.dx_total).max()) > 1e-6
 
 
+def test_combine_dynamic_static_mode():
+    """Opacity-ratio blending parity vs a dense oracle of the reference
+    blend formula (gaussian_renderer/__init__.py:114-138), and the
+    render path accepts the flag."""
+    import dataclasses as dc
+    from emd_tpu.train.s3_trainer import combine_static_dynamic
+
+    rng = np.random.default_rng(0)
+    n, k = 50, 4
+    lo_d = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    lo_s = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    shs_d = jnp.asarray(rng.normal(size=(n, k, 3)).astype(np.float32))
+    shs_s = jnp.asarray(rng.normal(size=(n, k, 3)).astype(np.float32))
+    opac, shs = combine_static_dynamic(lo_d, lo_s, shs_d, shs_s)
+    # dense numpy oracle of the reference formula
+    o_d = 1.0 / (1.0 + np.exp(-np.asarray(lo_d)))
+    o_s = 1.0 / (1.0 + np.exp(-np.asarray(lo_s)))
+    dyn_ratio = o_d / (o_d + o_s)
+    np.testing.assert_allclose(np.asarray(opac), o_d + o_s, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(shs),
+        np.asarray(shs_d) * dyn_ratio[:, None, None]
+        + np.asarray(shs_s) * (1 - dyn_ratio)[:, None, None], rtol=1e-5,
+        atol=1e-6)
+
+    params, alive, fcfg = build(jax.random.PRNGKey(0))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True)
+    cfg_c = dc.replace(cfg, combine_dynamic_static=True)
+    rgb_f, *_ = render_s3(params, alive, cfg, cam(), jnp.array(0.5),
+                          jnp.array(0), jnp.array(100), True)
+    rgb_c, *_ = render_s3(params, alive, cfg_c, cam(), jnp.array(0.5),
+                          jnp.array(0), jnp.array(100), True)
+    assert bool(jnp.all(jnp.isfinite(rgb_c)))
+    # the blend changes the image (opacities add)
+    assert float(jnp.abs(rgb_c - rgb_f).max()) > 1e-5
+    # coarse stage is unaffected by the flag
+    rgb_0, *_ = render_s3(params, alive, cfg, cam(), jnp.array(0.5),
+                          jnp.array(0), jnp.array(0), False)
+    rgb_1, *_ = render_s3(params, alive, cfg_c, cam(), jnp.array(0.5),
+                          jnp.array(0), jnp.array(0), False)
+    np.testing.assert_array_equal(np.asarray(rgb_0), np.asarray(rgb_1))
+
+
 def test_s3_training_two_stage():
     truth, alive, fcfg = build(jax.random.PRNGKey(1))
     cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True,
