@@ -1,0 +1,122 @@
+"""EMD-on vs EMD-off ablation on the oracle-GT self-consistency scene.
+
+The reference's headline claim is that the EMD motion module improves
+reconstruction, most of all in vehicle regions (+1.81 dB full-scene /
++2.81 dB vehicle-region over S3Gaussian, /root/reference/index.html:708).
+This gate reproduces the *mechanism* on a controlled scene: the GT
+vehicle follows a track with a residual the box annotation cannot
+express (yaw wobble + bounce + sway, tools/self_consistency.py
+build_gt_scene(wobble=True)); both students get the SMOOTH annotation
+track and identical budgets; only the EMD temporal heads
+(no_apply_embed_track=False) can absorb the residual.
+
+Writes docs/emd_ablation_r03_metrics.json with full + vehicle-masked
+PSNR for both runs. Pass: EMD-on beats EMD-off on vehicle-region PSNR.
+
+Run (chip): PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/emd_ablation.py --steps 2500
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--n_bg", type=int, default=200_000)
+    ap.add_argument("--n_veh", type=int, default=20_000)
+    ap.add_argument("--budget", type=int, default=1 << 20)
+    ap.add_argument("--out", default="out/emd_ablation")
+    ap.add_argument("--json_out", default="docs/emd_ablation_r03_metrics.json")
+    ap.add_argument("--test_stride", type=int, default=8)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from self_consistency import build_gt_scene, render_gt, to_scene_data
+
+    from emd_tpu.data.batches import BatchSource
+    from emd_tpu.eval.harness import do_evaluation
+    from emd_tpu.motion.rigid import RigidConfig
+    from emd_tpu.scene.scene_graph import SceneConfig
+    from emd_tpu.train.loop import LoopConfig, fit_scene
+    from emd_tpu.train.scene_trainer import SceneTrainConfig
+
+    t0 = time.time()
+    params, aux, meta = build_gt_scene(
+        n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
+        width=args.width, height=args.height, wobble=True)
+    print("rendering wobbled GT ...", flush=True)
+    images, sky_masks, veh_masks = render_gt(params, aux, meta, args.budget)
+    print(f"GT rendered in {time.time() - t0:.0f}s "
+          f"(veh px {veh_masks.mean():.4f})", flush=True)
+    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks)
+
+    def run(tag: str, rigid_cfg: RigidConfig):
+        out_dir = os.path.join(args.out, tag)
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = SceneTrainConfig(scene=SceneConfig(budget=args.budget,
+                                                 rigid=rigid_cfg))
+        loop = LoopConfig(
+            max_steps=args.steps, refine_start=500, refine_interval=400,
+            refine_stop=args.steps * 3 // 4,
+            reset_opacity_interval=args.steps // 3,
+            eval_interval=10 ** 9, ckpt_interval=10 ** 9, log_interval=100,
+            downscale_times=1, double_steps=max(1, args.steps // 8),
+            test_stride=args.test_stride)
+        t1 = time.time()
+        state = fit_scene(scene, out_dir, cfg=cfg, loop=loop)
+        src = BatchSource(scene, test_stride=args.test_stride)
+        res = do_evaluation(state.params, state.aux, cfg.scene, src,
+                            out_dir, step=args.steps)
+        res["wall_s"] = round(time.time() - t1, 1)
+        print(f"[{tag}] test {res['test'].get('psnr'):.2f} dB, vehicle "
+              f"{res['test'].get('vehicle_psnr', float('nan')):.2f} dB",
+              flush=True)
+        return res
+
+    res_on = run("emd_on", RigidConfig())
+    res_off = run("emd_off", RigidConfig(no_apply_embed_track=True))
+
+    def d(key):
+        a = res_on["test"].get(key)
+        b = res_off["test"].get(key)
+        return None if a is None or b is None else round(a - b, 3)
+
+    report = {
+        "gate": "emd_ablation",
+        "steps": args.steps,
+        "scene": dict(frames=args.frames, n_bg=args.n_bg,
+                      n_veh=args.n_veh, wobble=True,
+                      width=args.width, height=args.height),
+        "emd_on": res_on,
+        "emd_off": res_off,
+        "delta_test_psnr": d("psnr"),
+        "delta_test_vehicle_psnr": d("vehicle_psnr"),
+        "delta_test_dynamic_psnr": d("dynamic_psnr"),
+        "pass": (d("vehicle_psnr") or 0) > 0,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    with open(args.json_out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(json.dumps({k: report[k] for k in
+                      ("delta_test_psnr", "delta_test_vehicle_psnr",
+                       "pass", "wall_s")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,8 +36,16 @@ def _rot_z(a):
 
 
 def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
-                   width=480, height=320, seed=0):
-    """Known SceneParams + cameras + instance track for the GT render."""
+                   width=480, height=320, seed=0, wobble=False):
+    """Known SceneParams + cameras + instance track for the GT render.
+
+    `wobble=True` adds a non-box-constant residual motion to the TRUE
+    vehicle track — a yaw sinusoid + vertical bounce + lateral sway —
+    while the annotation track handed to the student (`veh_poses_ann`)
+    stays the smooth nominal one (a box detector would not capture the
+    wobble either). The EMD temporal heads can absorb the residual; the
+    raw track cannot — the basis of the EMD-on/off ablation mirroring
+    the reference's headline claim (/root/reference/index.html:708)."""
     from emd_tpu.core import random_quats, rgb_to_sh0
     from emd_tpu.motion.rigid import RigidConfig, create_rigid
     from emd_tpu.scene import (SceneAux, SceneParams, empty_params)
@@ -100,10 +108,19 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
         sh_dc=rgb_to_sh0(jnp.asarray(veh_col)),
         logit_opacities=jnp.full((n_veh,), 2.5),
     )
-    poses = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    poses_ann = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
     for f in range(n_frames):
-        poses[f, :3, :3] = _rot_z(np.pi)
-        poses[f, :3, 3] = [44.0 - 1.8 * f, 3.2, 0.8]
+        poses_ann[f, :3, :3] = _rot_z(np.pi)
+        poses_ann[f, :3, 3] = [44.0 - 1.8 * f, 3.2, 0.8]
+    poses = poses_ann.copy()
+    if wobble:
+        # residual the box track cannot express: ~2.9 deg yaw sinusoid,
+        # 12 cm bounce, 15 cm lateral sway (period ~5.3 frames)
+        for f in range(n_frames):
+            ph = 2 * np.pi * f / 5.3
+            poses[f, :3, :3] = _rot_z(np.pi + 0.05 * np.sin(ph))
+            poses[f, :3, 3] = poses_ann[f, :3, 3] + [
+                0.0, 0.15 * np.sin(ph + 1.1), 0.12 * np.sin(ph)]
     from emd_tpu.core.quat import rotmat_to_quat
     rq = np.asarray(rotmat_to_quat(jnp.asarray(poses[:, :3, :3])))[:, None]
     rt = poses[:, None, :3, 3]
@@ -153,7 +170,7 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
     cam_to_worlds = np.einsum("fij,cjk->fcik", ego, cam2ego)
     meta = dict(K=K, ego=ego, cam2ego=cam2ego,
                 cam_to_worlds=cam_to_worlds.astype(np.float32),
-                veh_poses=poses, veh_size=size,
+                veh_poses=poses, veh_poses_ann=poses_ann, veh_size=size,
                 width=width, height=height,
                 n_frames=n_frames, n_cams=n_cams)
     return params, aux, meta
@@ -223,9 +240,11 @@ def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
         lidar_org.append(org.astype(np.float32))
 
     dyn = veh_masks.copy()
+    # the student sees the ANNOTATION track (smooth nominal), not the
+    # true wobbled one — like a box detector would provide
     instances = [InstanceAnn(
         iid="0", class_name="vehicle", size=meta["veh_size"],
-        poses=meta["veh_poses"], frame_valid=np.ones(F, bool))]
+        poses=meta["veh_poses_ann"], frame_valid=np.ones(F, bool))]
     return SceneData(
         images=images,
         intrinsics=np.tile(meta["K"][None], (C, 1, 1)),
