@@ -122,13 +122,18 @@ def _alpha_terms(data, px, py, with_feat):
     alpha = jnp.where(skip, 0.0, jnp.minimum(alpha_raw, ALPHA_MAX))
     live = jnp.logical_not(skip | clamp)  # where grads flow to alpha_raw
     return dict(dx=dx, dy=dy, g=g, opa=opa, ca=ca, cb=cb, cc=cc,
+                mx=mx, my=my,
                 alpha=alpha, live=live, om=1.0 - alpha,
                 colors=data[:, 5:8], depth=data[:, 9:10],
                 feat=data[:, 10:13] if with_feat else None)
 
 
 def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
-    """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds."""
+    """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds.
+    (A two-level grouped variant was measured SLOWER on a v5e chip —
+    the sublane-strided group-total extraction relayouts cost more than
+    the saved full-size steps; composite fwd 18.7 -> 20.9 ms at the
+    official point.)"""
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = x
     shift = 1
@@ -321,45 +326,90 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         abar = t_g * wbar - r / om
         abar = jnp.where(terms["live"], abar, 0.0)
         common = abar * terms["opa"] * terms["g"]
-        dx, dy = terms["dx"], terms["dy"]
         ca, cb, cc = terms["ca"], terms["cb"], terms["cc"]
 
-        def rsum(x):
-            return jnp.sum(x, axis=1, keepdims=True)        # (C, 1)
-
+        # mean/conic gradients as pixel MOMENTS: the six cross-lane
+        # reductions rsum(common * f(dx, dy)) collapse into ONE MXU
+        # matmul against a constant per-tile moment basis
+        # P = [1, x, y, x^2, xy, y^2] in TILE-LOCAL coordinates (local
+        # coords keep the expanded sums well-conditioned), then tiny
+        # (C, 1) recombination:
+        #   sum c*dx       = Sx - mx*S0
+        #   sum c*dx*dx    = Sxx - 2 mx Sx + mx^2 S0   (etc.)
+        px0 = (t % ntx * TILE).astype(jnp.float32)
+        py0 = (t // ntx * TILE).astype(jnp.float32)
+        pxr = px - px0                                    # (1, NPX) exact
+        pyr = py - py0
+        basis = jnp.concatenate(
+            [jnp.ones_like(pxr), pxr, pyr, pxr * pxr, pxr * pyr,
+             pyr * pyr], axis=0)                          # (6, NPX)
+        M = jnp.dot(common, basis.T,
+                    preferred_element_type=jnp.float32, precision=HP)
+        s0, sx, sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+        sxx, sxy, syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+        mxr = terms["mx"] - px0                           # (C, 1)
+        myr = terms["my"] - py0
+        dxs = sx - mxr * s0                               # sum common*dx
+        dys = sy - myr * s0
+        dxxs = sxx - 2.0 * mxr * sx + mxr * mxr * s0
+        dxys = sxy - mxr * sy - myr * sx + mxr * myr * s0
+        dyys = syy - 2.0 * myr * sy + myr * myr * s0
+        # d rgb / d depth (/ d feature) in one matmul
+        rhs = [grgb, gdep] + ([gfea] if with_feat else [])
+        wd = jnp.dot(w, jnp.concatenate(rhs, axis=0).T,
+                     preferred_element_type=jnp.float32, precision=HP)
         gcols = [
-            rsum(common * (ca * dx + cb * dy)),              # d mean_x
-            rsum(common * (cb * dx + cc * dy)),              # d mean_y
-            rsum(common * (-0.5 * dx * dx)),                 # d conic_a
-            rsum(common * (-dx * dy)),                       # d conic_b
-            rsum(common * (-0.5 * dy * dy)),                 # d conic_c
-            jnp.dot(w, grgb.T, preferred_element_type=jnp.float32,
-                    precision=HP),
-            rsum(terms["g"] * abar),                         # d opacity
-            rsum(w * gdep),                                  # d depth
+            ca * dxs + cb * dys,                             # d mean_x
+            cb * dxs + cc * dys,                             # d mean_y
+            -0.5 * dxxs,                                     # d conic_a
+            -dxys,                                           # d conic_b
+            -0.5 * dyys,                                     # d conic_c
+            wd[:, 0:3],                                      # d rgb
+            # rsum(g*abar) = rsum(common)/opa; opa >= 1/255 wherever any
+            # pixel is live (else common == 0), so the floor only guards
+            # exact-zero rows
+            s0 / jnp.maximum(terms["opa"], 1e-20),           # d opacity
+            wd[:, 3:4],                                      # d depth
         ]
         if with_feat:
-            gcols.append(jnp.dot(w, gfea.T,
-                                 preferred_element_type=jnp.float32,
-                                 precision=HP))               # d feature
+            gcols.append(wd[:, 4:7])                         # d feature
         rows = ROWS_FEAT if with_feat else ROWS_BASE
         gcols.append(jnp.zeros((chunk, ROWS_PHYS - rows), jnp.float32))
         gmat = jnp.concatenate(gcols, axis=1)            # (C, ROWS_PHYS)
         gslot = jax.lax.rem(k, 2)
+        # the write DMA is double-buffered like the reads: before reusing
+        # this gbuf slot, wait only for the write issued TWO iterations
+        # ago (same slot) — an immediate start+wait serialized the write
+        # latency into every loop iteration
+        @pl.when(k >= 2)
+        def _():
+            _grad_wcp(k - 2, gslot).wait()
         gbuf[gslot] = gmat.T
-        wcp = pltpu.make_async_copy(
+        _grad_wcp(k, gslot).start()
+        b = b + ww_in[chunk - 1:chunk, :]
+        return s_start, b
+
+    def _grad_wcp(k, gslot):
+        c = k_star - 1 - k
+        return pltpu.make_async_copy(
             gbuf.at[gslot],
             dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
                                   chunk)], wsem.at[gslot])
-        wcp.start()
-        wcp.wait()
-        b = b + ww_in[chunk - 1:chunk, :]
-        return s_start, b
 
     # s = sum log(1-alpha): ds/dalpha_g = -1/(1-alpha_g), so seeding the
     # suffix carrier with gs yields abar -= gs/(1-alpha) — the exact final-
     # transmittance term (gs arrives as -galpha*T_fin from alpha=1-exp(s)).
     jax.lax.fori_loop(0, k_star, rev_body, (l_total, gs))
+
+    # drain the last (up to two) in-flight gradient writes before the next
+    # grid step reuses gbuf
+    @pl.when(k_star >= 1)
+    def _():
+        _grad_wcp(k_star - 1, jax.lax.rem(k_star - 1, 2)).wait()
+
+    @pl.when(k_star >= 2)
+    def _():
+        _grad_wcp(k_star - 2, jax.lax.rem(k_star - 2, 2)).wait()
 
 
 # ----------------------------------------------------------------------------

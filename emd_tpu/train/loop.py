@@ -212,33 +212,8 @@ def fit_scene(
 
         if (loop.refine_start <= step < loop.refine_stop
                 and every_interval(step, loop.refine_interval)):
-            # screen-size culling arms after the first opacity reset
-            # (vanilla.py:304-331 refine_scale2d_stop_at semantics)
-            use_screen = step > loop.reset_opacity_interval
-            key, sub = jax.random.split(key)
-            out = refine(sub, state.params.background, state.aux.bg_alive,
-                         _opt_background(state),
-                         state.dstate["background"],
-                         _densify_cfg(), scene_scale,
-                         use_screen_cull=use_screen)
-            state = _apply_background_refine(state, out)
-            stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
-                                    jnp.sum(out.alive), out.n_dropped))
-            logger.info(
-                "refine@%d[bg]: split %d dup %d culled %d alive %d drop %d",
-                step, *map(int, stats))
-            if state.params.rigid is not None:
-                key, sub = jax.random.split(key)
-                state = _refine_rigid(state, sub, scene_scale, logger, step,
-                                      use_screen=use_screen)
-            if state.params.deformable is not None:
-                key, sub = jax.random.split(key)
-                state = _refine_node(state, sub, "deformable", logger, step,
-                                     use_screen=use_screen)
-            if state.params.smpl is not None:
-                key, sub = jax.random.split(key)
-                state = _refine_node(state, sub, "smpl", logger, step,
-                                     use_screen=use_screen)
+            state, key = _refine_all_classes(state, key, scene_scale, loop,
+                                             logger, step)
 
         if (0 < step < loop.refine_stop
                 and every_interval(step, loop.reset_opacity_interval)):
@@ -403,6 +378,37 @@ def fit_single(scene, out_dir: str, cfg: TrainConfig | None = None,
 def _densify_cfg():
     from .densify import DensifyConfig
     return DensifyConfig()
+
+
+def _refine_all_classes(state, key, scene_scale, loop, logger, step):
+    """One densify pass over every scene-graph class — THE refine body,
+    shared verbatim by the single-device and sharded loops (parity by
+    construction). Screen-size culling arms after the first opacity
+    reset (vanilla.py:304-331 refine_scale2d_stop_at semantics)."""
+    use_screen = step > loop.reset_opacity_interval
+    key, sub = jax.random.split(key)
+    out = refine(sub, state.params.background, state.aux.bg_alive,
+                 _opt_background(state), state.dstate["background"],
+                 _densify_cfg(), scene_scale, use_screen_cull=use_screen)
+    state = _apply_background_refine(state, out)
+    stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                            jnp.sum(out.alive), out.n_dropped))
+    logger.info(
+        "refine@%d[bg]: split %d dup %d culled %d alive %d drop %d",
+        step, *map(int, stats))
+    if state.params.rigid is not None:
+        key, sub = jax.random.split(key)
+        state = _refine_rigid(state, sub, scene_scale, logger, step,
+                              use_screen=use_screen)
+    if state.params.deformable is not None:
+        key, sub = jax.random.split(key)
+        state = _refine_node(state, sub, "deformable", logger, step,
+                             use_screen=use_screen)
+    if state.params.smpl is not None:
+        key, sub = jax.random.split(key)
+        state = _refine_node(state, sub, "smpl", logger, step,
+                             use_screen=use_screen)
+    return state, key
 
 
 def _refine_rigid(state, key, scene_scale, logger, step,
@@ -580,18 +586,20 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
 
     step_fn = None
     step_sig = None
+    overflow_streak = 0
     for step in range(start_step, loop.max_steps):
-        if (state.params.rigid is not None
+        if ((state.params.rigid is not None
+             or state.params.smpl is not None)
                 and every_interval(step, loop.knn_refresh_interval)):
-            idx, w = knn_graph(
-                np.asarray(state.params.rigid.gauss.means),
-                np.asarray(state.aux.rigid_alive), k=8)
-            state = state._replace(knn={"rigid": (jnp.asarray(idx),
-                                                  jnp.asarray(w))})
+            state = _refresh_knn(state)
 
         # retrace when the pytree structure changes (first KNN refresh)
-        sig = jax.tree.structure((state.params, state.knn))
+        # or the budget was regrown
+        sig = (jax.tree.structure((state.params, state.knn)),
+               cfg.scene.budget)
         if step_fn is None or sig != step_sig:
+            jit_step, _ = make_sharded_scene_step(
+                mesh, cfg, state.aux, width, height, scene_scale)
             step_fn = jit_step(state.params, state.aux, state.dstate,
                                state.knn, has_depth, has_sky, has_dyn)
             step_sig = sig
@@ -610,23 +618,25 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
                                 else float(m["loss"]))
         metrics_log.update(loss=m["loss"], psnr=m.get("psnr", 0.0))
         if bool(m["overflow"]):
-            logger.warning("step %d: instance budget overflow "
-                           "(raise SceneConfig.budget)", step)
+            overflow_streak += 1
+            logger.warning("step %d: instance budget overflow (%d/3)",
+                           step, overflow_streak)
+            if overflow_streak >= 3:
+                # same budget auto-regrow as the single-device loop
+                new_budget = -(-int(cfg.scene.budget * 3 / 2)
+                               // 65536) * 65536
+                cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+                    cfg.scene, budget=new_budget))
+                overflow_streak = 0
+                logger.warning("step %d: budget regrown to %d (retrace)",
+                               step, new_budget)
+        else:
+            overflow_streak = 0
 
         if (loop.refine_start <= step < loop.refine_stop
                 and every_interval(step, loop.refine_interval)):
-            key, sub = jax.random.split(key)
-            out = refine(sub, state.params.background, state.aux.bg_alive,
-                         _opt_background(state), state.dstate["background"],
-                         _densify_cfg(), scene_scale)
-            state = _apply_background_refine(state, out)
-            stats = jax.device_get((out.n_split, out.n_dup,
-                                    jnp.sum(out.alive)))
-            logger.info("refine@%d[bg]: split %d dup %d alive %d", step,
-                        *map(int, stats))
-            if state.params.rigid is not None:
-                key, sub = jax.random.split(key)
-                state = _refine_rigid(state, sub, scene_scale, logger, step)
+            state, key = _refine_all_classes(state, key, scene_scale, loop,
+                                             logger, step)
 
         if (0 < step < loop.refine_stop
                 and every_interval(step, loop.reset_opacity_interval)):
