@@ -83,8 +83,13 @@ def main():
     params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
-    cfg = TrainConfig(budget=(23 << 16))  # 1.507M: 1.25x the measured
-    #                                       1,202,778 instances
+    cfg = TrainConfig(budget=(20 << 16))  # 1.311M: 1.09x the measured
+    #                                       1,202,778 instances — every
+    #                                       budget-sized index op
+    #                                       (fills, sorts, expand gather,
+    #                                       expand-VJP sort) scales with
+    #                                       it, and the count is
+    #                                       deterministic here
 
     def loss_fn(params):
         out = render_params(params, alive, cam, jnp.ones((16,)), cfg)

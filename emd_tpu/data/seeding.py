@@ -334,13 +334,45 @@ def build_scene_params(
     with_smpl: bool = True,
     smpl_template: str | None = None,
     seed: int = 0,
+    background: str = "vanilla",
 ) -> tuple[SceneParams, SceneAux]:
     """Full scene-graph initialization from data (MultiTrainer
-    init_gaussians_from_dataset, scene_graph.py:86-193)."""
+    init_gaussians_from_dataset, scene_graph.py:86-193).
+
+    `background="pvg"` selects the PVG background variant (the
+    reference's config-selectable Background `type:`,
+    OmniRe/models/trainers/scene_graph.py:25-71): per-gaussian taus are
+    seeded from each lidar point's capture frame (pvg.py:53)."""
     key = key if key is not None else jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 4)
 
     bg, bg_alive = seed_background(scene, n_lidar, n_random, seed=seed)
+
+    if background not in ("vanilla", "pvg"):
+        raise ValueError(
+            f"scene-graph background variant {background!r} not supported "
+            "(vanilla | pvg; deformgs exists as a SingleTrainer variant)")
+    bg_pvg = None
+    if background == "pvg":
+        from ..motion.pvg import PvgConfig
+        from ..scene.scene_graph import PvgTemporal
+        # capture time per seed point: lidar points keep their source
+        # frame; random fill points get uniform times
+        rng = np.random.RandomState(seed)
+        f = scene.num_frames
+        per = [p.shape[0] for p in scene.lidar_points]
+        times = np.concatenate(
+            [np.full(min(n_p, max(1, n_lidar // max(f, 1))),
+                     fi / max(f - 1, 1), np.float32)
+             for fi, n_p in enumerate(per)] or
+            [np.zeros(1, np.float32)])
+        taus = rng.choice(times, bg.capacity).astype(np.float32)
+        bg_pvg = PvgTemporal(
+            taus=jnp.asarray(taus),
+            log_betas=jnp.full((bg.capacity,),
+                               float(np.log(np.sqrt(
+                                   PvgConfig().betas_init)))),
+            velocity=jnp.zeros((bg.capacity, 3)))
 
     rigid = rigid_aux = rigid_alive = None
     sr = seed_instances(scene, RIGID_CLASSES, seed=seed)
@@ -374,6 +406,7 @@ def build_scene_params(
         sky=SkyCubemap.create(sky_resolution),
         affine=AffineCorrection.create(n_images),
         cam_pose=CameraPoseCorrection.create(n_images),
+        bg_pvg=bg_pvg,
     )
     aux = SceneAux(
         bg_alive=bg_alive, rigid_aux=rigid_aux, rigid_alive=rigid_alive,

@@ -61,13 +61,16 @@ MASK_BITS = 64            # per-gaussian coverage bitmask width
 class Binning(NamedTuple):
     """Static-shape binning result.
 
-    gid:          (M_pad,) int32 — gaussian id per padded instance slot;
-                  == num_gaussians (dummy) for padding / unused slots.
-    tile_offsets: (T+1,) int32 — padded segment boundaries, every segment
-                  start/length is a multiple of `chunk`.
-    num_instances: () int32 — true number of (gaussian, tile) pairs
-                  (before padding); if > budget M the binning overflowed
-                  and the caller should re-trace with a larger budget.
+    gid:          (M,) int32 — gaussian id per instance slot, sorted by
+                  (tile, depth); == num_gaussians (dummy) in the parking
+                  tail [num_instances, M).
+    tile_offsets: (T+1,) int32 — EXACT per-tile segment boundaries (no
+                  per-tile chunk padding; the compositor walks each tile
+                  over the chunk-aligned window covering its segment and
+                  masks out-of-segment lanes).
+    num_instances: () int32 — true number of (gaussian, tile) pairs;
+                  if > budget M the binning overflowed and the caller
+                  should re-trace with a larger budget.
     overflow:     () bool.
 
     Residuals for the instance-expansion custom VJP (stop-gradient
@@ -107,18 +110,21 @@ def opacity_sigma_cut(opacities: jax.Array | None, n: int,
     return jnp.minimum(MAX_SIGMA, cut) if clamp else cut
 
 
-def _gid_fill(starts_c, valid, n, budget):
+def _gid_fill(starts_c, valid, n, budget, interpret=None):
     """Forward-fill the owning gaussian id across instance slots: write
     gid at each gaussian's (strictly ascending) segment start, propagate
     to the next start. Because gid itself ascends with the write position
     it is its own monotone tag — one N-sized scatter-max plus ONE
-    `jax.lax.cummax` over the budget axis does the whole fill (~2 ms at
-    2M vs ~20 ms for the multi-word packed-scan fill it replaces).
+    cummax over the budget axis does the whole fill. The cummax runs as
+    a Pallas two-pass block scan (scan_pallas.cummax_fill_i32) — XLA's
+    log-step chain measured 4.5 ms at 1.5M on a v5e chip.
     Returns (budget,) int32 gid, == n for slots before any writer."""
+    from .scan_pallas import cummax_fill_i32
+
     pos = jnp.where(valid, starts_c, budget).astype(jnp.int32)
     gsel = jnp.arange(n, dtype=jnp.int32)
     buf = jnp.full((budget + 1,), -1, jnp.int32).at[pos].max(gsel)
-    gid_f = jax.lax.cummax(buf[:budget], axis=0)
+    gid_f = cummax_fill_i32(buf[:budget], interpret=interpret)
     return jnp.where(gid_f < 0, n, gid_f)
 
 
@@ -204,6 +210,10 @@ def bin_gaussians(
     if chunk is None:
         from .composite_pallas import CHUNK_STATIC
         chunk = CHUNK_STATIC
+    # the gid array IS the compositor's instance layout now, so the
+    # budget must be chunk-aligned (aligned boundary windows may extend
+    # to align_up(total) <= budget); round up rather than reject
+    budget = -(-budget // chunk) * chunk
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = means2d.shape[0]
@@ -258,7 +268,8 @@ def bin_gaussians(
     ends_c = jnp.minimum(offsets, budget)
 
     # ---- gid expansion: one cummax fill, then narrow gathers by gid
-    gid_f = _gid_fill(starts_c, counts > 0, n, budget)
+    gid_f = _gid_fill(starts_c, counts > 0, n, budget,
+                      interpret=interpret)
 
     # per-gaussian decode table gathered per instance: geom word
     # (tx0 | ty0 | w | bbox-fallback flag), coverage mask, depth bits,
@@ -304,58 +315,24 @@ def bin_gaussians(
     key_s, gid_sorted = jax.lax.sort((key, gid_masked), num_keys=1)
     tile_s = (key_s >> db).astype(jnp.int32)
 
-    # ---- per-tile counts from the sorted keys (no scatter-add)
+    # ---- per-tile EXACT segment boundaries from the sorted keys (T+1
+    # binary searches — no histogram scatter-add). The sorted array IS
+    # the final layout: no per-tile chunk padding, no second sort, no
+    # shift fill, no hole entries. The compositor walks each tile over
+    # the chunk-ALIGNED window covering its exact segment and masks the
+    # out-of-segment lanes (alpha = 0); adjacent tiles share at most one
+    # boundary chunk, which is safe because a TPU Pallas grid executes
+    # sequentially on one core (the backward merges shared chunks with
+    # a read-modify-write). This removed ~8 ms of budget-scaled layout
+    # machinery (second sort + fills + a 17% larger padded width) at the
+    # official bench point.
     starts_t = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)                                 # (T+1,)
-    tc = jnp.diff(starts_t)
-    tc_pad = -(-tc // chunk) * chunk
-    tile_offsets = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32), jnp.cumsum(tc_pad).astype(jnp.int32)
-    ])
-    m_pad = (budget + n_tiles * (chunk - 1) + chunk) // chunk * chunk
-
-    # ---- padded layout by a SECOND fused sort. The layout is a
-    # near-identity permutation — sorted slot s lands at
-    #   dst = s + (tile_offsets[t] - starts_t[t]) for t = tile_s[s]
-    # — and a budget-sized XLA gather through it measures 15.8 ms at
-    # 1.5M on a v5e chip (no fast path for near-sequential indices;
-    # tools/profile_layout.py). Instead: the per-slot shift is
-    # forward-filled with the same scatter-max + cummax trick as
-    # _gid_fill (the shift table is non-decreasing in t because padding
-    # only accumulates), hole entries carrying the dummy id are
-    # generated per tile by broadcast for the padding tails, and ONE
-    # i32-key sort (~2.5 ms at this scale) materializes the padded gid
-    # array directly: every real/hole entry carries its destination
-    # slot as the key, parked entries (key == m_pad) sink into the
-    # never-composited tail with the dummy payload.
-    shift_t = tile_offsets[:n_tiles] - starts_t[:n_tiles]   # (T,) nondecr
-    spos = jnp.minimum(starts_t[:n_tiles], budget)
-    sbuf = jnp.full((budget + 1,), -1, jnp.int32).at[spos].max(shift_t)
-    shift_s = jnp.maximum(jax.lax.cummax(sbuf[:budget], axis=0), 0)
-    real = slots < jnp.minimum(total, budget)
-    dst_real = jnp.where(real, slots + shift_s, m_pad)
-
-    pad_t = tc_pad - tc                                      # (T,) < chunk
-    j = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    hole_dst = jnp.where(
-        j < pad_t[:, None],
-        (tile_offsets[:n_tiles] + tc)[:, None] + j,
-        m_pad).reshape(-1)                                   # (T*chunk,)
-
-    keys = jnp.concatenate([dst_real, hole_dst])
-    payload = jnp.concatenate(
-        [gid_sorted, jnp.full((n_tiles * chunk,), n, jnp.int32)])
-    extra = max(0, m_pad - int(keys.shape[0]))   # tiny grids: T < chunk
-    if extra:
-        keys = jnp.concatenate([keys, jnp.full((extra,), m_pad, jnp.int32)])
-        payload = jnp.concatenate([payload, jnp.full((extra,), n, jnp.int32)])
-    _, gid_pad = jax.lax.sort((keys, payload), num_keys=1)
-    gid_pad = gid_pad[:m_pad]
+    ).astype(jnp.int32)                                 # (T+1,) exact
 
     return Binning(
-        gid=gid_pad,
-        tile_offsets=tile_offsets,
+        gid=gid_sorted,
+        tile_offsets=starts_t,
         num_instances=total,
         overflow=overflow,
         seg_starts=starts_c,

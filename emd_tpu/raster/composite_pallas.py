@@ -128,19 +128,35 @@ def _alpha_terms(data, px, py, with_feat):
                 feat=data[:, 10:13] if with_feat else None)
 
 
-def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
+def _scan_masks(shape, length):
+    """Loop-invariant Hillis-Steele step masks (row >= shift per step),
+    hoisted out of the per-chunk loop — the compare was otherwise paid
+    per (instance, pixel) per step."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    masks = []
+    shift = 1
+    while shift < length:
+        masks.append(row >= shift)
+        shift *= 2
+    return masks
+
+
+def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
     """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds.
     (A two-level grouped variant was measured SLOWER on a v5e chip —
     the sublane-strided group-total extraction relayouts cost more than
     the saved full-size steps; composite fwd 18.7 -> 20.9 ms at the
     official point.)"""
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    if masks is None:
+        masks = _scan_masks(x.shape, length)
     s = x
     shift = 1
+    i = 0
     while shift < length:
         rolled = pltpu.roll(s, shift, axis=0)
-        s = s + jnp.where(row >= shift, rolled, 0.0)
+        s = s + jnp.where(masks[i], rolled, 0.0)
         shift *= 2
+        i += 1
     return s
 
 
@@ -159,7 +175,7 @@ def _inclusive_scan0(x: jax.Array, length: int) -> jax.Array:
 PROD_FLOOR = 1e-30
 
 
-def _exclusive_prod0(om: jax.Array, length: int) -> jax.Array:
+def _exclusive_prod0(om: jax.Array, length: int, masks=None) -> jax.Array:
     """Exclusive prefix product along axis 0 (row i -> prod_{j<i} om[j])
     via Hillis-Steele shifted multiplies. Multiplicative form: within a
     chunk the transmittance ratio is a plain product, so the two per-pair
@@ -167,13 +183,16 @@ def _exclusive_prod0(om: jax.Array, length: int) -> jax.Array:
     per-pair exp) collapse to ONE per-pixel exp/log pair per chunk at the
     carry boundary — the per-pair cost keeps only the gaussian's own
     exp(-q/2)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, om.shape, 0)
-    s = jnp.where(row >= 1, pltpu.roll(om, 1, axis=0), 1.0)
+    if masks is None:
+        masks = _scan_masks(om.shape, length)
+    s = jnp.where(masks[0], pltpu.roll(om, 1, axis=0), 1.0)
     shift = 1
+    i = 0
     while shift < length:
         rolled = pltpu.roll(s, shift, axis=0)
-        s = s * jnp.where(row >= shift, rolled, 1.0)
+        s = s * jnp.where(masks[i], rolled, 1.0)
         shift *= 2
+        i += 1
     return s
 
 
@@ -186,11 +205,31 @@ def _pixel_coords(t, ntx):
     return px, py
 
 
-def _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot):
+def _chunk_dma(inst_ref, buf, sem, base, c, chunk, slot):
+    """DMA chunk c of a tile's chunk-ALIGNED window (base = the aligned
+    window start). Tile segments are EXACT (no per-tile padding); the
+    lanes of a boundary chunk that belong to a neighbouring tile are
+    zero-masked after the copy (`_mask_chunk`)."""
     return pltpu.make_async_copy(
-        inst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+        inst_ref.at[:, pl.ds(pl.multiple_of(base + c * chunk, chunk),
                              chunk)],
         buf.at[slot], sem.at[slot])
+
+
+def _lane_valid(base, c, chunk, start, end):
+    """(1, chunk) bool: which lanes of aligned chunk c hold instances of
+    THIS tile's exact segment [start, end)."""
+    idx = base + c * chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (1, chunk), 1)
+    return (idx >= start) & (idx < end)
+
+
+def _mask_chunk(data, valid):
+    """Zero out-of-segment lanes of a loaded (ROWS_PHYS, chunk) chunk:
+    neighbouring-tile/garbage lanes become an all-zero instance (opa 0 ->
+    alpha 0 -> skip), so no NaN/Inf from foreign bits can reach the
+    scans or accumulators."""
+    return jnp.where(valid, data, 0.0)
 
 
 # ----------------------------------------------------------------------------
@@ -201,12 +240,16 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
                 ntx, with_feat):
     t = pl.program_id(0)
     start = offs_ref[t]
-    nchunks = (offs_ref[t + 1] - start) // chunk
+    end = offs_ref[t + 1]
+    base = (start // chunk) * chunk      # aligned window start
+    nchunks = jnp.where(end > start,
+                        (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
+    masks = _scan_masks((chunk, NPX), chunk)   # loop-invariant, hoisted
 
     @pl.when(nchunks > 0)
     def _():
-        _chunk_dma(inst_ref, buf, sem, start, 0, chunk, 0).start()
+        _chunk_dma(inst_ref, buf, sem, base, 0, chunk, 0).start()
 
     def cond(carry):
         c, s, rgb, dep, fea = carry
@@ -218,13 +261,15 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
 
         @pl.when(c + 1 < nchunks)
         def _():
-            _chunk_dma(inst_ref, buf, sem, start, c + 1, chunk,
+            _chunk_dma(inst_ref, buf, sem, base, c + 1, chunk,
                        jax.lax.rem(c + 1, 2)).start()
 
-        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
-        terms = _alpha_terms(buf[slot].T, px, py, with_feat)
+        _chunk_dma(inst_ref, buf, sem, base, c, chunk, slot).wait()
+        data = _mask_chunk(buf[slot],
+                           _lane_valid(base, c, chunk, start, end))
+        terms = _alpha_terms(data.T, px, py, with_feat)
         om = terms["om"]
-        pex = _exclusive_prod0(om, chunk)               # T_g / T_chunk_start
+        pex = _exclusive_prod0(om, chunk, masks)        # T_g / T_chunk_start
         w = terms["alpha"] * (jnp.exp(s) * pex)         # exp: per PIXEL
         rgb = rgb + jnp.dot(terms["colors"].T, w,
                             preferred_element_type=jnp.float32,
@@ -251,7 +296,7 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
     # unwaited DMA would corrupt the next tile's buffer reuse.
     @pl.when(c_end < nchunks)
     def _():
-        _chunk_dma(inst_ref, buf, sem, start, c_end, chunk,
+        _chunk_dma(inst_ref, buf, sem, base, c_end, chunk,
                    jax.lax.rem(c_end, 2)).wait()
 
     out_ref[0, 0:3, :] = rgb
@@ -266,11 +311,16 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
-                dinst_ref, buf, gbuf, sem, wsem, *, chunk, ntx,
-                with_feat):
+                dinst_ref, buf, gbuf, rmw_buf, sem, wsem, rsem, *, chunk,
+                ntx, with_feat):
     t = pl.program_id(0)
     start = offs_ref[t]
+    end = offs_ref[t + 1]
+    base = (start // chunk) * chunk
+    nchunks = jnp.where(end > start,
+                        (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
+    masks = _scan_masks((chunk, NPX), chunk)   # loop-invariant, hoisted
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
@@ -281,14 +331,43 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     l_total = out_res_ref[0, 4:5, :]
     k_star = meta_ref[0, 0, 0].astype(jnp.int32)
 
-    # chunks in [k_star, nchunks) were never composited: the kernel skips
-    # them and the wrapper zeroes their (garbage) slots outside — a mask
-    # folded into an existing elementwise op beats a sequential DMA loop
-    # of small zero writes here.
+    # Boundary-chunk merge: chunk 0 of this tile's aligned window may
+    # hold the PREVIOUS tile's segment tail, already written by the
+    # previous grid step (TPU Pallas grids execute sequentially on one
+    # core, and each step drains its write DMAs — no race). Read the
+    # existing chunk up-front; the write of chunk 0 preserves those
+    # lanes. Lanes BEYOND this tile's segment are written as zeros and
+    # merged by the NEXT tile the same way.
+    low0 = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) < start
+    # only read when chunk 0 will actually be (re)written — an unwaited
+    # in-flight read would corrupt the next grid step's buffer reuse
+    shared_first = (start % chunk != 0) & (k_star > 0)
+
+    def _rmw_read():
+        return pltpu.make_async_copy(
+            dinst_ref.at[:, pl.ds(pl.multiple_of(base, chunk), chunk)],
+            rmw_buf, rsem)
+
+    @pl.when(shared_first)
+    def _():
+        _rmw_read().start()
+
+    def chunk0_merge(mine_t):
+        """(ROWS_PHYS, chunk) write image for chunk 0: preserve the
+        previous tile's lanes."""
+        @pl.when(shared_first)
+        def _():
+            _rmw_read().wait()
+        return jnp.where(low0, rmw_buf[...], mine_t)
+
+    # chunks in [k_star, nchunks) were never composited: the kernel does
+    # NOT write them (a loop of tiny zero DMAs serializes on write
+    # latency); the wrapper zeroes every slot past its owner's composited
+    # end with one forward-filled mask.
 
     @pl.when(k_star > 0)
     def _():
-        _chunk_dma(inst_ref, buf, sem, start, k_star - 1, chunk, 0).start()
+        _chunk_dma(inst_ref, buf, sem, base, k_star - 1, chunk, 0).start()
 
     # sweep 2: reverse over composited chunks. B carries
     # sum_{j > current} w_j wbar_j plus the final-transmittance term.
@@ -298,15 +377,17 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
 
         @pl.when(c - 1 >= 0)
         def _():
-            _chunk_dma(inst_ref, buf, sem, start, c - 1, chunk,
+            _chunk_dma(inst_ref, buf, sem, base, c - 1, chunk,
                        jax.lax.rem(k + 1, 2)).start()
 
         slot = jax.lax.rem(k, 2)
-        _chunk_dma(inst_ref, buf, sem, start, c, chunk, slot).wait()
-        terms = _alpha_terms(buf[slot].T, px, py, with_feat)
+        _chunk_dma(inst_ref, buf, sem, base, c, chunk, slot).wait()
+        data = _mask_chunk(buf[slot],
+                           _lane_valid(base, c, chunk, start, end))
+        terms = _alpha_terms(data.T, px, py, with_feat)
         alpha = terms["alpha"]
         om = terms["om"]
-        pex = _exclusive_prod0(om, chunk)
+        pex = _exclusive_prod0(om, chunk, masks)
         prod = pex[chunk - 1:chunk, :] * om[chunk - 1:chunk, :]
         csum = jnp.log(jnp.maximum(prod, PROD_FLOOR))  # matches fwd exactly
         s_start = s_end - csum
@@ -321,7 +402,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                                   precision=HP)
         ww = w * wbar
         # suffix-exclusive sum along C: chunk total - inclusive
-        ww_in = _inclusive_scan0(ww, chunk)
+        ww_in = _inclusive_scan0(ww, chunk, masks)
         r = b + (ww_in[chunk - 1:chunk, :] - ww_in)
         abar = t_g * wbar - r / om
         abar = jnp.where(terms["live"], abar, 0.0)
@@ -384,7 +465,8 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         @pl.when(k >= 2)
         def _():
             _grad_wcp(k - 2, gslot).wait()
-        gbuf[gslot] = gmat.T
+        gbuf[gslot] = jax.lax.cond(c == 0, chunk0_merge,
+                                   lambda m: m, gmat.T)
         _grad_wcp(k, gslot).start()
         b = b + ww_in[chunk - 1:chunk, :]
         return s_start, b
@@ -393,7 +475,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         c = k_star - 1 - k
         return pltpu.make_async_copy(
             gbuf.at[gslot],
-            dinst_ref.at[:, pl.ds(pl.multiple_of(start + c * chunk, chunk),
+            dinst_ref.at[:, pl.ds(pl.multiple_of(base + c * chunk, chunk),
                                   chunk)], wsem.at[gslot])
 
     # s = sum log(1-alpha): ds/dalpha_g = -1/(1-alpha_g), so seeding the
@@ -501,8 +583,10 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_PHYS, chunk), jnp.float32),
             pltpu.VMEM((2, ROWS_PHYS, chunk), jnp.float32),
+            pltpu.VMEM((ROWS_PHYS, chunk), jnp.float32),   # boundary RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     dinst_phys = pl.pallas_call(
@@ -514,22 +598,26 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
         interpret=interpret,
     )(tile_offsets, inst_phys, out, gout, meta)
     dinst_raw = dinst_phys[:rows]
-    # The kernel writes only chunks it actually composited (< the stop
-    # chunk k_star). Everything else — early-terminated chunks and the
-    # instance-budget parking region — contains garbage memory; zero it
-    # with one chunk-granular mask (cheap (n_chunks,) index math + an
-    # elementwise select) instead of a sequential in-kernel DMA zero loop.
-    m_pad = inst_data.shape[1]
-    n_chunks = m_pad // chunk
-    cid = jnp.arange(n_chunks, dtype=jnp.int32)
-    owner = jnp.clip(jnp.searchsorted(tile_offsets, cid * chunk,
-                                      side="right") - 1, 0, n_tiles - 1)
+    # Per-slot written mask: slot s (owned by tile t, exact segments) is
+    # written iff s < comp_end[t] = clip(base_t + k_star_t*chunk,
+    # start_t, end_t). The clip makes comp_end non-decreasing across
+    # tiles (each lies inside its tile's interval), so ONE scatter at
+    # segment starts + a forward-fill cummax gives the per-slot bound;
+    # everything else (never-composited chunks, garbage boundary lanes a
+    # neighbour's RMW preserved, the parking tail) is zeroed here.
+    from .scan_pallas import cummax_fill_i32
+
+    m = inst_data.shape[1]
+    starts = tile_offsets[:-1]
+    ends = tile_offsets[1:]
+    bases = (starts // chunk) * chunk
     k_star = meta[:, 0, 0].astype(jnp.int32)                 # (n_tiles,)
-    comp_end = tile_offsets[:n_tiles] // chunk + k_star      # (n_tiles,)
-    written_c = cid < jnp.take(comp_end, owner)              # (n_chunks,)
-    written = jnp.broadcast_to(written_c[:, None],
-                               (n_chunks, chunk)).reshape(-1)
-    dinst = jnp.where(written[None, :], dinst_raw, 0.0)
+    comp_end = jnp.clip(bases + k_star * chunk, starts, ends)
+    pos = jnp.where(ends > starts, starts, m).astype(jnp.int32)
+    buf = jnp.full((m + 1,), -1, jnp.int32).at[pos].max(comp_end)
+    bound = cummax_fill_i32(buf[:m], interpret=interpret)
+    slot = jnp.arange(m, dtype=jnp.int32)
+    dinst = jnp.where((slot < bound)[None, :], dinst_raw, 0.0)
     return dinst, None
 
 

@@ -45,6 +45,17 @@ from .sky import SkyCubemap, SkyMLP, composite_sky, \
 CLASS_NAMES = ("Background", "RigidNodes", "DeformableNodes", "SMPLNodes")
 
 
+class PvgTemporal(NamedTuple):
+    """Per-gaussian PVG temporal params for a scene-graph PVG background
+    (OmniRe supports Background type=PVG via config,
+    models/trainers/scene_graph.py:25-71 + gaussians/pvg.py). Rides next
+    to params.background so the densify controller carries it as refine
+    extras, like the SingleTrainer's PvgMotion."""
+    taus: jax.Array        # (Cb,)
+    log_betas: jax.Array   # (Cb,)
+    velocity: jax.Array    # (Cb, 3)
+
+
 class SceneParams(NamedTuple):
     """All learnable state of a composed street scene."""
     background: GaussianParams
@@ -54,6 +65,9 @@ class SceneParams(NamedTuple):
     sky: SkyCubemap | SkyMLP | None
     affine: AffineCorrection | None
     cam_pose: CameraPoseCorrection | None
+    # non-None selects the PVG background variant (config `type:` in the
+    # reference); temporal means/opacities at render time
+    bg_pvg: PvgTemporal | None = None
 
 
 class SceneAux(NamedTuple):
@@ -75,6 +89,10 @@ class SceneConfig:
     antialiased: bool = False
     interpret: bool | None = None
     sh_degree_interval: int = 1000
+    # PVG background variant (used when params.bg_pvg is set):
+    # frame -> normalized time needs the clip length at trace time
+    pvg: "PvgConfigT" = None            # motion.pvg.PvgConfig or None
+    pvg_num_frames: int = 1
 
 
 class SceneRender(NamedTuple):
@@ -123,7 +141,7 @@ def collect_gaussians(
     means_l, quats_l, scales_l, opac_l, colors_l = [], [], [], [], []
 
     def push(means, quats, log_scales, sh_dc, sh_rest, logit_op, visible,
-             name, d_scales=None):
+             name, d_scales=None, opac_factor=None):
         shs = jnp.concatenate([sh_dc[:, None, :], sh_rest], axis=1)
         sh_deg_mask = sh_degree_mask(
             jnp.minimum(step // cfg.sh_degree_interval, 3), shs.shape[1])
@@ -135,6 +153,8 @@ def collect_gaussians(
         colors = eval_sh(shs, dirs, deg)
         opac = jax.nn.sigmoid(logit_op)
         w = 1.0 if class_weights is None else class_weights.get(name, 1.0)
+        if opac_factor is not None:
+            opac = opac * opac_factor
         opac = jnp.where(visible, opac * w, 0.0)
         ls = log_scales if d_scales is None else log_scales + d_scales
         means_l.append(means)
@@ -144,8 +164,22 @@ def collect_gaussians(
         colors_l.append(colors)
 
     bg = params.background
-    push(bg.means, bg.quats, bg.log_scales, bg.sh_dc, bg.sh_rest,
-         bg.logit_opacities, aux.bg_alive, "Background")
+    if params.bg_pvg is not None:
+        # PVG background: periodic-vibration means + life-span opacity
+        # at the frame's normalized time (gaussians/pvg.py:66-78)
+        from ..motion.pvg import PvgConfig, PvgParams, pvg_at_time
+        pcfg = cfg.pvg if cfg.pvg is not None else PvgConfig()
+        t_norm = frame.astype(jnp.float32) / max(cfg.pvg_num_frames - 1, 1)
+        pv = PvgParams(gauss=bg, taus=params.bg_pvg.taus,
+                       log_betas=params.bg_pvg.log_betas,
+                       velocity=params.bg_pvg.velocity)
+        bg_means_t, ofac = pvg_at_time(pv, t_norm, pcfg)
+        push(bg_means_t, bg.quats, bg.log_scales, bg.sh_dc, bg.sh_rest,
+             bg.logit_opacities, aux.bg_alive, "Background",
+             opac_factor=ofac)
+    else:
+        push(bg.means, bg.quats, bg.log_scales, bg.sh_dc, bg.sh_rest,
+             bg.logit_opacities, aux.bg_alive, "Background")
 
     if params.rigid is not None:
         rp = params.rigid

@@ -96,6 +96,7 @@ def fit_scene(
     resume: str | None = None,
     smpl_template: str | None = None,
     step_hook=None,
+    background: str = "vanilla",
 ) -> SceneTrainState:
     """Train the scene-graph model on a scene; returns the final state.
 
@@ -115,9 +116,13 @@ def fit_scene(
     if params_aux is None:
         logger.info("seeding scene graph from data ...")
         params, aux = build_scene_params(scene, seed=loop.seed,
-                                         smpl_template=smpl_template)
+                                         smpl_template=smpl_template,
+                                         background=background)
     else:
         params, aux = params_aux
+    if params.bg_pvg is not None and cfg.scene.pvg_num_frames <= 1:
+        cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+            cfg.scene, pvg_num_frames=scene.num_frames))
     state = create_scene_train_state(params, aux)
     # LR scale = camera-extent radius (the reference's scene_radius /
     # spatial_lr_scale), NOT the lidar AABB radius (several x larger —
@@ -387,9 +392,41 @@ def _refine_all_classes(state, key, scene_scale, loop, logger, step):
     reset (vanilla.py:304-331 refine_scale2d_stop_at semantics)."""
     use_screen = step > loop.reset_opacity_interval
     key, sub = jax.random.split(key)
-    out = refine(sub, state.params.background, state.aux.bg_alive,
-                 _opt_background(state), state.dstate["background"],
+    carrier = state.params.background
+    carrier_opt = _opt_background(state)
+    if state.params.bg_pvg is not None:
+        # PVG background: temporal params (and their Adam rows) ride
+        # through refine so children inherit them — row surgery only
+        from .optim import AdamState
+        bp = state.params.bg_pvg
+        carrier = (carrier, bp.taus, bp.log_betas, bp.velocity)
+        mu_p, nu_p = state.opt.mu.bg_pvg, state.opt.nu.bg_pvg
+        carrier_opt = AdamState(
+            mu=(carrier_opt.mu, mu_p.taus, mu_p.log_betas, mu_p.velocity),
+            nu=(carrier_opt.nu, nu_p.taus, nu_p.log_betas, nu_p.velocity),
+            step=carrier_opt.step)
+    out = refine(sub, carrier, state.aux.bg_alive,
+                 carrier_opt, state.dstate["background"],
                  _densify_cfg(), scene_scale, use_screen_cull=use_screen)
+    if state.params.bg_pvg is not None:
+        from ..scene.scene_graph import PvgTemporal
+        from .optim import AdamState
+        gauss, taus, log_betas, velocity = out.params
+        new_pvg = PvgTemporal(taus=taus, log_betas=log_betas,
+                              velocity=velocity)
+        state = state._replace(params=state.params._replace(
+            bg_pvg=new_pvg),
+            opt=state.opt._replace(
+                mu=state.opt.mu._replace(bg_pvg=PvgTemporal(
+                    taus=out.opt.mu[1], log_betas=out.opt.mu[2],
+                    velocity=out.opt.mu[3])),
+                nu=state.opt.nu._replace(bg_pvg=PvgTemporal(
+                    taus=out.opt.nu[1], log_betas=out.opt.nu[2],
+                    velocity=out.opt.nu[3]))))
+        out = out._replace(params=gauss,
+                           opt=AdamState(mu=out.opt.mu[0],
+                                         nu=out.opt.nu[0],
+                                         step=out.opt.step))
     state = _apply_background_refine(state, out)
     stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
                             jnp.sum(out.alive), out.n_dropped))

@@ -89,6 +89,11 @@ class SceneTrainConfig:
     lr_sky: float = 5e-3
     lr_affine: float = 1e-4
     lr_cam_pose: float = 1e-5
+    # PVG background variant (params.bg_pvg; gaussians/pvg.py optim)
+    lr_pvg_taus: float = 8e-4
+    lr_pvg_betas: float = 2e-2
+    lr_pvg_velocity: float = 1e-3
+    w_pvg_velocity: float = 0.01
 
 
 class SceneBatch(NamedTuple):
@@ -161,11 +166,19 @@ def scene_lr_tree(params: SceneParams, cfg: SceneTrainConfig, step,
     if params.smpl is not None:
         smpl = jax.tree.map(lambda _: jnp.asarray(cfg.lr_means), params.smpl)
         smpl = smpl._replace(rigid=rigid_lr(params.smpl.rigid))
+    bg_pvg_lr = None
+    if params.bg_pvg is not None:
+        from ..scene.scene_graph import PvgTemporal
+        bg_pvg_lr = PvgTemporal(
+            taus=jnp.asarray(cfg.lr_pvg_taus),
+            log_betas=jnp.asarray(cfg.lr_pvg_betas),
+            velocity=jnp.asarray(cfg.lr_pvg_velocity))
     return SceneParams(
         background=_gauss_lr(cfg, step, scene_scale),
         rigid=rigid,
         deformable=deform,
         smpl=smpl,
+        bg_pvg=bg_pvg_lr,
         sky=(jax.tree.map(lambda _: jnp.asarray(cfg.lr_sky), params.sky)
              if params.sky is not None else None),
         affine=(jax.tree.map(lambda _: jnp.asarray(cfg.lr_affine),
@@ -253,6 +266,10 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
             sharp = sharp + losses.scale_reg(jnp.exp(g.log_scales), al,
                                              cfg.max_gauss_ratio)
         ld["sharp_shape"] = cfg.w_sharp_shape * sharp_gate * sharp
+    if params.bg_pvg is not None and cfg.w_pvg_velocity > 0:
+        from ..motion.pvg import velocity_reg
+        ld["pvg_velocity"] = cfg.w_pvg_velocity * velocity_reg(
+            params.bg_pvg, aux.bg_alive)
     if cfg.w_scaling_background > 0:
         ld["bg_scaling"] = cfg.w_scaling_background * scaling_gate * \
             scale_percentile_reg(params.background.log_scales,

@@ -115,6 +115,24 @@ def test_empty_scene():
     np.testing.assert_allclose(out.alpha, 0.0, atol=1e-7)
 
 
+def test_pallas_cummax_fill():
+    """Two-pass block-scan cummax (scan_pallas) vs jax.lax.cummax on a
+    gid-fill-shaped input (sparse ascending writers over -1)."""
+    from emd_tpu.raster.scan_pallas import _BLOCK, cummax_fill_i32
+
+    rng = np.random.default_rng(0)
+    m = 3 * _BLOCK
+    x = np.full(m, -1, np.int32)
+    w = np.sort(rng.choice(m, 5000, replace=False))
+    x[w] = np.arange(5000, dtype=np.int32)
+    ref = np.asarray(jax.lax.cummax(jnp.asarray(x), axis=0))
+    out = np.asarray(cummax_fill_i32(jnp.asarray(x), force=True))
+    np.testing.assert_array_equal(out, ref)
+    # odd sizes fall back
+    out2 = np.asarray(cummax_fill_i32(jnp.asarray(x[:1000]), force=True))
+    np.testing.assert_array_equal(out2, ref[:1000])
+
+
 def test_binning_counts():
     cam = small_cam(96, 64)
     means, quats, scales, opac, colors = random_scene(jax.random.PRNGKey(7),
@@ -127,16 +145,20 @@ def test_binning_counts():
     offs = np.asarray(b.tile_offsets)
     assert offs.shape == (ntx * nty + 1,)
     assert np.all(np.diff(offs) >= 0)
-    assert np.all(np.diff(offs) % 128 == 0)
     gid = np.asarray(b.gid)
     n_real = int((gid < 64).sum())
     assert n_real == int(b.num_instances)
-    # every real instance lies inside some tile segment
+    # EXACT segments: the real instances fill [0, total) with no holes,
+    # the parking tail carries only the dummy id
+    total = int(b.num_instances)
+    assert offs[0] == 0 and offs[-1] == total
+    assert np.all(gid[:total] < 64)
+    assert np.all(gid[total:] == 64)
     for t in range(ntx * nty):
         seg = gid[offs[t]:offs[t + 1]]
-        # real entries are depth-sorted within the segment
-        real = seg[seg < 64]
-        d = np.asarray(proj.depths)[real]
+        assert np.all(seg < 64)        # exact segments: no padding inside
+        # entries are depth-sorted within the segment
+        d = np.asarray(proj.depths)[seg]
         assert np.all(np.diff(d) >= 0)
 
 

@@ -187,6 +187,69 @@ def test_scene_training_improves_dynamic_scene():
     assert err1 < err0
 
 
+def test_pvg_background_variant():
+    """Config-selected PVG background inside the scene graph (the
+    reference's Background type= mechanism, scene_graph.py:25-71):
+    renders become time-dependent, the train step moves the temporal
+    params, and refine carries them through densification."""
+    import dataclasses as dc
+
+    from emd_tpu.motion.pvg import PvgConfig
+    from emd_tpu.scene.scene_graph import PvgTemporal
+    from emd_tpu.train.loop import LoopConfig, _refine_all_classes
+    import logging
+
+    params, aux = build_scene(jax.random.PRNGKey(5),
+                              with_corrections=False)
+    cb = params.background.capacity
+    key = jax.random.PRNGKey(6)
+    params = params._replace(bg_pvg=PvgTemporal(
+        taus=jax.random.uniform(key, (cb,)),
+        log_betas=jnp.full((cb,), jnp.log(jnp.sqrt(0.1))),
+        velocity=0.3 * jax.random.normal(key, (cb, 3))))
+    cfg = SceneConfig(budget=1 << 14, interpret=True,
+                      pvg=PvgConfig(), pvg_num_frames=N_FRAMES)
+    out0 = render_scene(params, aux, cfg, cam_at(), jnp.array(0),
+                        jnp.array(0), jnp.array(0))
+    out1 = render_scene(params, aux, cfg, cam_at(), jnp.array(3),
+                        jnp.array(0), jnp.array(0))
+    # nonzero velocity + life spans: the background itself moves/fades
+    # between frames even with the rigid class weighted out
+    w = {"RigidNodes": 0.0}
+    b0 = render_scene(params, aux, cfg, cam_at(), jnp.array(0),
+                      jnp.array(0), jnp.array(0), class_weights=w)
+    b1 = render_scene(params, aux, cfg, cam_at(), jnp.array(3),
+                      jnp.array(0), jnp.array(0), class_weights=w)
+    assert float(jnp.abs(b1.rgb - b0.rgb).max()) > 1e-3
+    assert bool(jnp.all(jnp.isfinite(out0.rgb)))
+    assert bool(jnp.all(jnp.isfinite(out1.rgb)))
+
+    # one train step updates the temporal params
+    from emd_tpu.train.scene_trainer import (SceneBatch, SceneTrainConfig,
+                                             create_scene_train_state,
+                                             scene_train_step)
+    tcfg = SceneTrainConfig(scene=cfg, w_depth=0.0, w_smooth=0.0)
+    state = create_scene_train_state(params, aux)
+    batch = SceneBatch(camera=cam_at(), rgb=out1.rgb,
+                       frame_idx=jnp.array(0), img_idx=jnp.array(0))
+    state2, m = scene_train_step(state, batch, tcfg, 2.0)
+    assert bool(jnp.isfinite(m["loss"])) and "pvg_velocity" in m
+    assert float(jnp.abs(state2.params.bg_pvg.velocity
+                         - params.bg_pvg.velocity).max()) > 0
+
+    # refine carries the temporal params (capacity preserved, finite)
+    state2 = state2._replace(dstate=dict(
+        state2.dstate,
+        background=state2.dstate["background"]._replace(
+            grad_accum=jnp.where(aux.bg_alive, 1e3, 0.0),
+            count=jnp.ones((cb,), jnp.int32))))
+    loop = LoopConfig(reset_opacity_interval=10 ** 9)
+    state3, _ = _refine_all_classes(state2, jax.random.PRNGKey(9), 2.0,
+                                    loop, logging.getLogger("t"), step=100)
+    assert state3.params.bg_pvg.taus.shape == (cb,)
+    assert bool(jnp.all(jnp.isfinite(state3.params.bg_pvg.velocity)))
+
+
 def test_sky_mlp_variant():
     from emd_tpu.scene import SkyMLP
     params, aux = build_scene(jax.random.PRNGKey(7), with_corrections=False)

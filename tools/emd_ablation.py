@@ -60,10 +60,12 @@ def main():
         n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
         width=args.width, height=args.height, wobble=True)
     print("rendering wobbled GT ...", flush=True)
-    images, sky_masks, veh_masks = render_gt(params, aux, meta, args.budget)
+    images, sky_masks, veh_masks, hum_masks, cyc_masks = render_gt(
+        params, aux, meta, args.budget)
     print(f"GT rendered in {time.time() - t0:.0f}s "
           f"(veh px {veh_masks.mean():.4f})", flush=True)
-    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks)
+    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
+                          hum_masks, cyc_masks)
 
     def run(tag: str, rigid_cfg: RigidConfig):
         out_dir = os.path.join(args.out, tag)

@@ -36,7 +36,8 @@ def _rot_z(a):
 
 
 def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
-                   width=480, height=320, seed=0, wobble=False):
+                   width=480, height=320, seed=0, wobble=False,
+                   n_ped=0, n_cyc=0):
     """Known SceneParams + cameras + instance track for the GT render.
 
     `wobble=True` adds a non-box-constant residual motion to the TRUE
@@ -130,6 +131,99 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
         rq, rt, fv, size[None], RigidConfig())
     rigid_alive = jnp.ones((n_veh,), bool)
 
+    # --- walking pedestrian: procedural SMPL skeleton, LBS-posed limbs
+    # swinging with the stride (the reference's SMPLNodes GT protocol —
+    # masked human PSNR, OmniRe/models/video_utils.py:72-82)
+    smpl = smpl_aux = smpl_alive = None
+    ped_track = ped_body = None
+    if n_ped > 0:
+        from emd_tpu.core.quat import rotmat_to_quat
+        from emd_tpu.motion.smpl import (N_JOINTS, SmplConfig, create_smpl,
+                                         procedural_template)
+
+        tmpl, ppts = procedural_template(jax.random.PRNGKey(seed + 5),
+                                         n_ped, scale=1.05)
+        ped_col = np.clip(
+            np.where(np.asarray(ppts)[:, 2:3] > 0.2,
+                     [[0.2, 0.3, 0.8]], [[0.25, 0.2, 0.2]])
+            + 0.04 * rng.randn(n_ped, 3), 0, 1).astype(np.float32)
+        pg = empty_params(n_ped, sh_bases=4)._replace(
+            means=ppts,
+            log_scales=jnp.log(jnp.full((n_ped, 3), 0.035, jnp.float32)),
+            quats=random_quats(jax.random.PRNGKey(seed + 6), n_ped),
+            sh_dc=rgb_to_sh0(jnp.asarray(ped_col)),
+            logit_opacities=jnp.full((n_ped,), 2.5))
+        ped_track = np.tile(np.eye(4, dtype=np.float32),
+                            (n_frames, 1, 1))
+        stride = 2 * np.pi / 4.0                     # 4-frame stride
+        body = np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                       (n_frames, 1, N_JOINTS, 1))
+        for f in range(n_frames):
+            ped_track[f, :3, 3] = [9.0 + 0.55 * f, -3.5, 1.0]
+            ph = stride * f
+            # legs (hips 1/2) and arms (shoulders 16/17) swing about the
+            # world-y axis, opposite phase; knees flex on the back swing
+            for jidx, amp, phase in ((1, 0.5, 0.0), (2, 0.5, np.pi),
+                                     (16, 0.35, np.pi), (17, 0.35, 0.0),
+                                     (4, 0.25, np.pi / 2),
+                                     (5, 0.25, 3 * np.pi / 2)):
+                a = amp * np.sin(ph + phase)
+                body[f, 0, jidx] = [np.cos(a / 2), 0, np.sin(a / 2), 0]
+        ped_q = np.asarray(rotmat_to_quat(
+            jnp.asarray(ped_track[:, :3, :3])))[:, None]
+        ped_t = ped_track[:, None, :3, 3]
+        smpl, smpl_aux = create_smpl(
+            jax.random.PRNGKey(seed + 7), pg, tmpl,
+            jnp.zeros((n_ped,), jnp.int32), jnp.asarray(ped_q),
+            jnp.asarray(ped_t), jnp.ones((n_frames, 1), bool),
+            jnp.array([[0.9, 0.6, 1.9]], jnp.float32),
+            jnp.asarray(body), SmplConfig())
+        smpl_alive = jnp.ones((n_ped,), bool)
+        ped_body = body
+
+    # --- cyclist: rigid track + a KNOWN smooth conditional deformation
+    # (the DeformableNodes GT protocol)
+    deform = deform_aux = deform_alive = None
+    cyc_track = None
+    if n_cyc > 0:
+        from emd_tpu.core.quat import rotmat_to_quat
+        from emd_tpu.motion.deformable import (DeformableConfig,
+                                               create_deformable)
+
+        cpts = (rng.rand(n_cyc, 3).astype(np.float32) - 0.5) \
+            * np.array([1.7, 0.45, 1.3], np.float32)
+        cyc_col = np.clip(np.tile([[0.15, 0.65, 0.2]], (n_cyc, 1))
+                          + 0.05 * rng.randn(n_cyc, 3), 0,
+                          1).astype(np.float32)
+        cg = empty_params(n_cyc, sh_bases=4)._replace(
+            means=jnp.asarray(cpts),
+            log_scales=jnp.log(jnp.full((n_cyc, 3), 0.05, jnp.float32)),
+            quats=random_quats(jax.random.PRNGKey(seed + 8), n_cyc),
+            sh_dc=rgb_to_sh0(jnp.asarray(cyc_col)),
+            logit_opacities=jnp.full((n_cyc,), 2.5))
+        cyc_track = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+        for f in range(n_frames):
+            cyc_track[f, :3, :3] = _rot_z(np.pi)
+            cyc_track[f, :3, 3] = [38.0 - 1.2 * f, 6.0, 0.75]
+        cq = np.asarray(rotmat_to_quat(
+            jnp.asarray(cyc_track[:, :3, :3])))[:, None]
+        ct = cyc_track[:, None, :3, 3]
+        cyc_rigid, cyc_aux = create_rigid(
+            jax.random.PRNGKey(seed + 9), cg,
+            jnp.zeros((n_cyc,), jnp.int32), jnp.asarray(cq),
+            jnp.asarray(ct), jnp.ones((n_frames, 1), bool),
+            jnp.array([[1.9, 0.7, 1.6]], jnp.float32), RigidConfig())
+        dcfg = DeformableConfig(net_depth=2, net_width=32)
+        deform = create_deformable(jax.random.PRNGKey(seed + 10),
+                                   cyc_rigid, 1, dcfg)
+        # give the GT net a real, smooth, bounded deformation (the head
+        # init is tiny random; scale the warp up to a few percent of the
+        # box so the student's cond-deform MLP has something to learn)
+        deform = deform._replace(deform_net=deform.deform_net._replace(
+            warp=jax.tree.map(lambda x: 30.0 * x, deform.deform_net.warp)))
+        deform_aux = cyc_aux
+        deform_alive = jnp.ones((n_cyc,), bool)
+
     # --- sky: smooth colorful cubemap
     sky = SkyCubemap.create(64)
     faces = np.array(sky.faces)
@@ -143,12 +237,13 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
 
     n_images = n_frames * n_cams
     params = SceneParams(
-        background=bg, rigid=rigid, deformable=None, smpl=None,
+        background=bg, rigid=rigid, deformable=deform, smpl=smpl,
         sky=sky, affine=AffineCorrection.create(n_images),
         cam_pose=CameraPoseCorrection.create(n_images))
     aux = SceneAux(bg_alive=bg_alive, rigid_aux=rigid_aux,
-                   rigid_alive=rigid_alive, deform_aux=None,
-                   deform_alive=None, smpl_aux=None, smpl_alive=None)
+                   rigid_alive=rigid_alive, deform_aux=deform_aux,
+                   deform_alive=deform_alive, smpl_aux=smpl_aux,
+                   smpl_alive=smpl_alive)
 
     # --- cameras: ego drives +x at 1.2 m/frame
     fx = fy = 0.62 * width
@@ -171,13 +266,16 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
     meta = dict(K=K, ego=ego, cam2ego=cam2ego,
                 cam_to_worlds=cam_to_worlds.astype(np.float32),
                 veh_poses=poses, veh_poses_ann=poses_ann, veh_size=size,
+                ped_poses=ped_track, ped_body=ped_body,
+                cyc_poses=cyc_track,
                 width=width, height=height,
                 n_frames=n_frames, n_cams=n_cams)
     return params, aux, meta
 
 
 def render_gt(params, aux, meta, budget):
-    """GT images/sky masks/vehicle masks via the scene renderer."""
+    """GT images + sky/vehicle/human/cyclist masks via the scene
+    renderer (per-class masks from decomposition renders)."""
     from emd_tpu.core import make_camera
     from emd_tpu.scene.scene_graph import SceneConfig, render_scene
 
@@ -192,30 +290,45 @@ def render_gt(params, aux, meta, budget):
                            jnp.asarray(10_000), class_weights=weights)
         return out.rgb, out.raster.alpha
 
+    only = {"Background": 0.0, "RigidNodes": 0.0, "DeformableNodes": 0.0,
+            "SMPLNodes": 0.0}
     jit_full = jax.jit(lambda c, f, i: one(c, f, i, None))
     jit_veh = jax.jit(lambda c, f, i: one(
-        c, f, i, {"Background": 0.0}))
+        c, f, i, {**only, "RigidNodes": 1.0}))
+    jit_hum = jax.jit(lambda c, f, i: one(
+        c, f, i, {**only, "SMPLNodes": 1.0}))
+    jit_cyc = jax.jit(lambda c, f, i: one(
+        c, f, i, {**only, "DeformableNodes": 1.0}))
     F, C = meta["n_frames"], meta["n_cams"]
     images = np.zeros((F, C, h, w, 3), np.float32)
     sky_masks = np.zeros((F, C, h, w), bool)
     veh_masks = np.zeros((F, C, h, w), bool)
+    hum_masks = np.zeros((F, C, h, w), bool)
+    cyc_masks = np.zeros((F, C, h, w), bool)
+    has_hum = params.smpl is not None
+    has_cyc = params.deformable is not None
     for f in range(F):
         for c in range(C):
             w2c = np.linalg.inv(meta["cam_to_worlds"][f, c])
-            rgb, alpha = jit_full(w2c, jnp.asarray(f),
-                                  jnp.asarray(f * C + c))
-            _, valpha = jit_veh(w2c, jnp.asarray(f),
-                                jnp.asarray(f * C + c))
+            fj, ij = jnp.asarray(f), jnp.asarray(f * C + c)
+            rgb, alpha = jit_full(w2c, fj, ij)
+            _, valpha = jit_veh(w2c, fj, ij)
             images[f, c] = np.clip(np.asarray(rgb), 0, 1)
             sky_masks[f, c] = np.asarray(alpha) < 0.5
             veh_masks[f, c] = np.asarray(valpha) > 0.5
-    return images, sky_masks, veh_masks
+            if has_hum:
+                _, halpha = jit_hum(w2c, fj, ij)
+                hum_masks[f, c] = np.asarray(halpha) > 0.5
+            if has_cyc:
+                _, calpha = jit_cyc(w2c, fj, ij)
+                cyc_masks[f, c] = np.asarray(calpha) > 0.5
+    return images, sky_masks, veh_masks, hum_masks, cyc_masks
 
 
 def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
-                  n_lidar=12_000, seed=0):
+                  hum_masks=None, cyc_masks=None, n_lidar=12_000, seed=0):
     """Lidar-style SceneData: per-frame subsamples of the TRUE surface
-    points (background means + posed vehicle means) with noise — what a
+    points (background means + posed actor means) with noise — what a
     sensor would return, not the GT params."""
     from emd_tpu.data.scene_data import InstanceAnn, SceneData
 
@@ -223,34 +336,82 @@ def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
     bg_pts = np.asarray(params.background.means)
     veh_local = np.asarray(params.rigid.gauss.means)
     F, C = meta["n_frames"], meta["n_cams"]
+
+    ped_world = None
+    if params.smpl is not None:
+        from emd_tpu.motion.smpl import smpl_world_gaussians
+        ped_world = [np.asarray(smpl_world_gaussians(
+            params.smpl, aux.smpl_aux, aux.smpl_alive, jnp.asarray(f),
+            jnp.asarray(10_000))[0]) for f in range(F)]
+    cyc_world = None
+    if params.deformable is not None:
+        from emd_tpu.motion.deformable import (DeformableConfig,
+                                               deformable_world_gaussians)
+        dcfg = DeformableConfig()
+        cyc_world = [np.asarray(deformable_world_gaussians(
+            params.deformable, aux.deform_aux, aux.deform_alive,
+            jnp.asarray(f), jnp.asarray(10_000), dcfg)[0])
+            for f in range(F)]
+
     lidar_pts, lidar_org = [], []
     n_lidar = min(n_lidar, bg_pts.shape[0])
     for f in range(F):
         sel = rng.choice(bg_pts.shape[0], n_lidar, replace=False)
-        pts = bg_pts[sel] + rng.randn(n_lidar, 3).astype(np.float32) * 0.02
+        pts = [bg_pts[sel]
+               + rng.randn(n_lidar, 3).astype(np.float32) * 0.02]
         vsel = rng.choice(veh_local.shape[0],
                           min(n_lidar // 8, veh_local.shape[0]),
                           replace=False)
         T = meta["veh_poses"][f]
-        vp = veh_local[vsel] @ T[:3, :3].T + T[:3, 3] \
-            + rng.randn(len(vsel), 3).astype(np.float32) * 0.02
-        pts = np.concatenate([pts, vp]).astype(np.float32)
+        pts.append(veh_local[vsel] @ T[:3, :3].T + T[:3, 3]
+                   + rng.randn(len(vsel), 3).astype(np.float32) * 0.02)
+        if ped_world is not None:
+            psel = rng.choice(ped_world[f].shape[0],
+                              min(n_lidar // 12, ped_world[f].shape[0]),
+                              replace=False)
+            pts.append(ped_world[f][psel]
+                       + rng.randn(len(psel), 3).astype(np.float32) * 0.02)
+        if cyc_world is not None:
+            csel = rng.choice(cyc_world[f].shape[0],
+                              min(n_lidar // 12, cyc_world[f].shape[0]),
+                              replace=False)
+            pts.append(cyc_world[f][csel]
+                       + rng.randn(len(csel), 3).astype(np.float32) * 0.02)
+        pts = np.concatenate(pts).astype(np.float32)
         org = meta["ego"][f, :3, 3][None].repeat(pts.shape[0], 0)
         lidar_pts.append(pts)
         lidar_org.append(org.astype(np.float32))
 
-    dyn = veh_masks.copy()
+    hum = (hum_masks if hum_masks is not None
+           else np.zeros_like(veh_masks))
+    cyc = (cyc_masks if cyc_masks is not None
+           else np.zeros_like(veh_masks))
+    dyn = veh_masks | hum | cyc
     # the student sees the ANNOTATION track (smooth nominal), not the
     # true wobbled one — like a box detector would provide
     instances = [InstanceAnn(
         iid="0", class_name="vehicle", size=meta["veh_size"],
         poses=meta["veh_poses_ann"], frame_valid=np.ones(F, bool))]
+    if meta.get("ped_poses") is not None:
+        body = meta["ped_body"][:, 0]                # (F, 24, 4)
+        instances.append(InstanceAnn(
+            iid="1", class_name="pedestrian",
+            size=np.array([0.9, 0.6, 1.9], np.float32),
+            poses=meta["ped_poses"], frame_valid=np.ones(F, bool),
+            smpl_quats=body.astype(np.float32),
+            smpl_betas=np.zeros(10, np.float32),
+            smpl_valid=np.ones(F, bool)))
+    if meta.get("cyc_poses") is not None:
+        instances.append(InstanceAnn(
+            iid="2", class_name="cyclist",
+            size=np.array([1.9, 0.7, 1.6], np.float32),
+            poses=meta["cyc_poses"], frame_valid=np.ones(F, bool)))
     return SceneData(
         images=images,
         intrinsics=np.tile(meta["K"][None], (C, 1, 1)),
         cam_to_worlds=meta["cam_to_worlds"],
         sky_masks=sky_masks, dynamic_masks=dyn,
-        human_masks=np.zeros_like(dyn), vehicle_masks=veh_masks,
+        human_masks=hum, vehicle_masks=veh_masks,
         lidar_points=lidar_pts, lidar_origins=lidar_org,
         instances=instances)
 
@@ -263,6 +424,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--n_bg", type=int, default=200_000)
     ap.add_argument("--n_veh", type=int, default=20_000)
+    ap.add_argument("--n_ped", type=int, default=4000,
+                    help="SMPL pedestrian gaussians (0 disables the class)")
+    ap.add_argument("--n_cyc", type=int, default=6000,
+                    help="cond-deform cyclist gaussians (0 disables)")
     ap.add_argument("--budget", type=int, default=1 << 20)
     ap.add_argument("--out", default="out/self_consistency")
     ap.add_argument("--test_stride", type=int, default=8)
@@ -277,14 +442,17 @@ def main():
     t0 = time.time()
     params, aux, meta = build_gt_scene(
         n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
-        width=args.width, height=args.height)
+        width=args.width, height=args.height, n_ped=args.n_ped,
+        n_cyc=args.n_cyc)
     print("rendering GT ...", flush=True)
-    images, sky_masks, veh_masks = render_gt(params, aux, meta,
-                                             args.budget)
+    images, sky_masks, veh_masks, hum_masks, cyc_masks = render_gt(
+        params, aux, meta, args.budget)
     print(f"GT rendered in {time.time() - t0:.0f}s "
           f"(mean rgb {images.mean():.3f}, sky {sky_masks.mean():.2f}, "
-          f"veh {veh_masks.mean():.3f})", flush=True)
-    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks)
+          f"veh {veh_masks.mean():.3f}, hum {hum_masks.mean():.4f}, "
+          f"cyc {cyc_masks.mean():.4f})", flush=True)
+    scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
+                          hum_masks, cyc_masks)
 
     cfg = SceneTrainConfig(scene=SceneConfig(budget=args.budget))
     loop = LoopConfig(max_steps=args.steps, refine_start=500,
@@ -304,6 +472,12 @@ def main():
     print(json.dumps({"gate": "self_consistency",
                       "test_psnr": res.get("test", {}).get("psnr"),
                       "train_psnr": res.get("train", {}).get("psnr"),
+                      "test_human_psnr":
+                          res.get("test", {}).get("human_psnr"),
+                      "test_dynamic_psnr":
+                          res.get("test", {}).get("dynamic_psnr"),
+                      "test_vehicle_psnr":
+                          res.get("test", {}).get("vehicle_psnr"),
                       "steps": args.steps,
                       "wall_s": round(time.time() - t0, 1)}))
 

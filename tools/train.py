@@ -32,7 +32,8 @@ def main():
                          "background-only SingleTrainer")
     ap.add_argument("--background", choices=["vanilla", "pvg", "deformgs"],
                     default="vanilla",
-                    help="single flavor: background model variant "
+                    help="background model variant (single trainer, or the "
+                         "scene-graph Background class type "
                          "(reference single.py:23-211)")
     ap.add_argument("--coarse_iters", type=int, default=None,
                     help="s3 flavor: static warmup steps (default steps//10)")
@@ -196,6 +197,7 @@ def main():
             viewer.publish((state.params, state.aux))
 
     state = fit_scene(scene, args.out, cfg, loop, mesh=mesh,
+                      background=args.background,
                       resume=args.resume,
                       smpl_template=args.smpl_template,
                       step_hook=hook if viewer is not None else None)
