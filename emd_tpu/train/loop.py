@@ -624,6 +624,32 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
     step_fn = None
     step_sig = None
     overflow_streak = 0
+    pending = []        # (step, views, metrics-on-device) FIFO
+    want_regrow = False
+
+    def process(pstep, pviews, m):
+        nonlocal overflow_streak
+        m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"non-finite loss at step {pstep}")
+        for vi in pviews:
+            source.report_error(vi, float(m["rgb"]) if "rgb" in m
+                                else float(m["loss"]))
+        metrics_log.update(loss=m["loss"], psnr=m.get("psnr", 0.0))
+        if bool(m["overflow"]):
+            overflow_streak += 1
+            logger.warning("step %d: instance budget overflow (%d/3)",
+                           pstep, overflow_streak)
+        else:
+            overflow_streak = 0
+        return bool(m["overflow"]) and overflow_streak >= 3
+
+    def drain():
+        regrow = False
+        while pending:
+            regrow |= bool(process(*pending.pop(0)))
+        return regrow
+
     for step in range(start_step, loop.max_steps):
         if ((state.params.rigid is not None
              or state.params.smpl is not None)
@@ -647,28 +673,20 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
             batch, jnp.asarray(step))
         state = state._replace(params=params, opt=opt, dstate=dstates,
                                step=jnp.asarray(step + 1))
-        m = jax.device_get(m)
-        if not np.isfinite(m["loss"]):
-            raise FloatingPointError(f"non-finite loss at step {step}")
-        for vi in views:
-            source.report_error(vi, float(m["rgb"]) if "rgb" in m
-                                else float(m["loss"]))
-        metrics_log.update(loss=m["loss"], psnr=m.get("psnr", 0.0))
-        if bool(m["overflow"]):
-            overflow_streak += 1
-            logger.warning("step %d: instance budget overflow (%d/3)",
-                           step, overflow_streak)
-            if overflow_streak >= 3:
-                # same budget auto-regrow as the single-device loop
-                new_budget = -(-int(cfg.scene.budget * 3 / 2)
-                               // 65536) * 65536
-                cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
-                    cfg.scene, budget=new_budget))
-                overflow_streak = 0
-                logger.warning("step %d: budget regrown to %d (retrace)",
-                               step, new_budget)
-        else:
+        # deferred metric drain, same as the single-device loop: the
+        # host fetch overlaps device compute by metric_lag steps
+        pending.append((step, views, m))
+        want_regrow = False
+        while len(pending) > loop.metric_lag:
+            want_regrow |= bool(process(*pending.pop(0)))
+        if want_regrow:
+            new_budget = -(-int(cfg.scene.budget * 3 / 2)
+                           // 65536) * 65536
+            cfg = dataclasses.replace(cfg, scene=dataclasses.replace(
+                cfg.scene, budget=new_budget))
             overflow_streak = 0
+            logger.warning("step %d: budget regrown to %d (retrace)",
+                           step, new_budget)
 
         if (loop.refine_start <= step < loop.refine_stop
                 and every_interval(step, loop.refine_interval)):
@@ -695,10 +713,12 @@ def _fit_scene_sharded(scene, out_dir, cfg, loop, state, scene_scale,
             eval_fn(state, step)
 
         if step > 0 and every_interval(step, loop.ckpt_interval):
+            drain()      # resume bit-identity: no un-applied errors
             save_train_checkpoint(
                 os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
                 state, source, key)
 
+    drain()
     save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
                     (state.params, state.aux, state.step))
     save_train_checkpoint(os.path.join(out_dir, "ckpt_full_final.npz"),
