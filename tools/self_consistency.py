@@ -216,11 +216,19 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
         dcfg = DeformableConfig(net_depth=2, net_width=32)
         deform = create_deformable(jax.random.PRNGKey(seed + 10),
                                    cyc_rigid, 1, dcfg)
-        # give the GT net a real, smooth, bounded deformation (the head
-        # init is tiny random; scale the warp up to a few percent of the
-        # box so the student's cond-deform MLP has something to learn)
+        # give the GT net a real, smooth, bounded deformation: normalize
+        # the random warp head so the mean |dxyz| is ~5% of the half-box
+        # (in-box, learnable by the student's cond-deform MLP)
+        x_norm = cg.means / jnp.maximum(
+            jnp.array([1.9, 0.7, 1.6]) / 2.0, 1e-6)
+        t_mid = jnp.full((n_cyc, 1), 0.5)
+        dxyz0, _, _ = deform.deform_net(
+            x_norm, t_mid, deform.instances_embedding[
+                jnp.zeros((n_cyc,), jnp.int32)])
+        warp_scale = 0.05 / max(float(jnp.abs(dxyz0).mean()), 1e-8)
         deform = deform._replace(deform_net=deform.deform_net._replace(
-            warp=jax.tree.map(lambda x: 30.0 * x, deform.deform_net.warp)))
+            warp=jax.tree.map(lambda x: warp_scale * x,
+                              deform.deform_net.warp)))
         deform_aux = cyc_aux
         deform_alive = jnp.ones((n_cyc,), bool)
 
