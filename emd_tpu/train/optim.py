@@ -23,6 +23,20 @@ class AdamState(NamedTuple):
     step: jax.Array
 
 
+def strong_types(tree: Any) -> Any:
+    """Strip weak-type flags from every array leaf. Freshly-initialized
+    params (jnp.full with a python float etc.) carry weak_type=True;
+    after one update they come back strong, CHANGING the jit signature —
+    each training step's first few calls recompiled (~2 min each on the
+    remote TPU helper) until the tree reached its type fixed point.
+    Canonicalizing at state creation makes call 0 the only compile."""
+    def leaf(x):
+        if isinstance(x, jax.Array) and getattr(x, "weak_type", False):
+            return x.astype(x.dtype)
+        return x
+    return jax.tree.map(leaf, tree)
+
+
 def adam_init(params: Any) -> AdamState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),

@@ -124,6 +124,8 @@ class S3TrainState(NamedTuple):
 
 
 def create_s3_train_state(params: S3Params, alive) -> S3TrainState:
+    from .optim import strong_types
+    params = strong_types(params)
     return S3TrainState(params=params, alive=alive, opt=adam_init(params),
                         dstate=DensifyState.create(params.gauss.capacity),
                         knn=None, step=jnp.zeros((), jnp.int32))

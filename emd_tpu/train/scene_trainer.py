@@ -192,6 +192,9 @@ def scene_lr_tree(params: SceneParams, cfg: SceneTrainConfig, step,
 
 def create_scene_train_state(params: SceneParams, aux: SceneAux
                              ) -> SceneTrainState:
+    from .optim import strong_types
+    params = strong_types(params)
+    aux = strong_types(aux)
     dstate = {"background": DensifyState.create(params.background.capacity)}
     if params.rigid is not None:
         dstate["rigid"] = DensifyState.create(

@@ -125,6 +125,9 @@ class Batch(NamedTuple):
 
 def create_train_state(params: GaussianParams, alive: jax.Array,
                        motion: Any = None) -> TrainState:
+    from .optim import strong_types
+    params = strong_types(params)
+    motion = strong_types(motion)
     return TrainState(
         params=params,
         alive=alive,

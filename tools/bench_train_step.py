@@ -92,8 +92,18 @@ def build(n_bg=500_000, n_veh=30_000, n_ped=10_000, n_frames=8):
 
 
 def chain_steps(step_fn, state, batch, iters):
-    s, m = step_fn(state, batch)      # compile
-    _ = float(m["loss"])
+    # warm to the jit-signature fixed point: the first few calls flip
+    # weak-type flags on freshly-initialized leaves and RECOMPILE (three
+    # ~2 min compiles measured); timing starts only once a call is fast
+    s = state
+    for w in range(6):
+        t0 = time.time()
+        s, m = step_fn(s, batch)
+        _ = float(m["loss"])
+        dt = time.time() - t0
+        if dt < 5.0:
+            break
+        print(f"  warmup {w}: {dt:.1f}s (compile)", flush=True)
     t0 = time.time()
     for _ in range(iters):
         s, m = step_fn(s, batch)
