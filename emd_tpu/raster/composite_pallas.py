@@ -141,6 +141,23 @@ def _scan_masks(shape, length):
     return masks
 
 
+def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
+    """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds.
+    (Both a two-level grouped variant and a strict-upper MXU matmul were
+    measured SLOWER on a v5e chip — see BENCH_NOTES.)"""
+    if masks is None:
+        masks = _scan_masks(x.shape, length)
+    s = x
+    shift = 1
+    i = 0
+    while shift < length:
+        rolled = pltpu.roll(s, shift, axis=0)
+        s = s + jnp.where(masks[i], rolled, 0.0)
+        shift *= 2
+        i += 1
+    return s
+
+
 # Per-chunk transmittance floor: a chunk whose (1-alpha) product falls
 # below this is clamped before the log that folds it into the running
 # per-pixel log-transmittance. Both kernels clamp identically, so the
@@ -323,11 +340,6 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     # only read when chunk 0 will actually be (re)written — an unwaited
     # in-flight read would corrupt the next grid step's buffer reuse
     shared_first = (start % chunk != 0) & (k_star > 0)
-    # strict-upper triangle: suffix sums as ONE MXU matmul (the
-    # Hillis-Steele sum scan was ~28 VPU ops per (instance, pixel) pair —
-    # the single largest backward term; the 128x128 @ 128x1024 matmul is
-    # ~17 MFLOP of MXU work per chunk and overlaps the VPU)
-    triu1 = jnp.triu(jnp.ones((chunk, chunk), jnp.float32), k=1)
 
     def _rmw_read():
         return pltpu.make_async_copy(
@@ -387,11 +399,13 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                                   preferred_element_type=jnp.float32,
                                   precision=HP)
         ww = w * wbar
-        # suffix-exclusive sum along C via the strict-upper MXU matmul:
-        # suf[c] = sum_{j>c} ww[j]
-        suf = jnp.dot(triu1, ww, preferred_element_type=jnp.float32,
-                      precision=HP)
-        r = b + suf
+        # suffix-exclusive sum along C: chunk total - inclusive scan.
+        # (A strict-upper-triangle MXU matmul was measured SLOWER on v5e
+        # — f32 HIGHEST matmuls don't overlap enough to beat the VPU
+        # scan; official bench 21.7 -> 20.1 Mpix/s. Same verdict as the
+        # round-1 triangular-matmul transmittance scan.)
+        ww_in = _inclusive_scan0(ww, chunk, masks)
+        r = b + (ww_in[chunk - 1:chunk, :] - ww_in)
         abar = t_g * wbar - r / om
         abar = jnp.where(terms["live"], abar, 0.0)
         common = abar * terms["opa"] * terms["g"]
@@ -456,7 +470,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         gbuf[gslot] = jax.lax.cond(c == 0, chunk0_merge,
                                    lambda m: m, gmat.T)
         _grad_wcp(k, gslot).start()
-        b = b + (suf[0:1, :] + ww[0:1, :])     # + chunk total
+        b = b + ww_in[chunk - 1:chunk, :]      # + chunk total
         return s_start, b
 
     def _grad_wcp(k, gslot):
