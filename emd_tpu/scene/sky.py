@@ -68,7 +68,13 @@ def _cubemap_uv(d: jax.Array):
 
 
 def sample_cubemap(cube: SkyCubemap, dirs: jax.Array) -> jax.Array:
-    """Bilinear cubemap lookup for world directions (..., 3) -> (..., 3)."""
+    """Bilinear cubemap lookup for world directions (..., 3) -> (..., 3).
+
+    ONE patch gather instead of four corner gathers: XLA's TPU gather
+    cost is per-INDEX, so fetching the 2x2x3 bilinear footprint as a
+    single slice quarters the index count (and the backward's
+    scatter-adds likewise). Faces are edge-padded by one texel so the
+    patch is always in-bounds with exact clamp semantics."""
     d = dirs @ _TO_OPENGL.T
     face, u, v = _cubemap_uv(d)
     r = cube.faces.shape[1]
@@ -76,14 +82,26 @@ def sample_cubemap(cube: SkyCubemap, dirs: jax.Array) -> jax.Array:
     pv = jnp.clip(v * r - 0.5, 0.0, r - 1.0)
     u0 = jnp.floor(pu).astype(jnp.int32)
     v0 = jnp.floor(pv).astype(jnp.int32)
-    u1 = jnp.minimum(u0 + 1, r - 1)
-    v1 = jnp.minimum(v0 + 1, r - 1)
     fu = (pu - u0)[..., None]
     fv = (pv - v0)[..., None]
-    c00 = cube.faces[face, v0, u0]
-    c01 = cube.faces[face, v0, u1]
-    c10 = cube.faces[face, v1, u0]
-    c11 = cube.faces[face, v1, u1]
+    facesp = jnp.pad(cube.faces, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                     mode="edge")
+    shape = face.shape
+    starts = jnp.stack([face.reshape(-1), v0.reshape(-1),
+                        u0.reshape(-1)], axis=-1)
+    patches = jax.lax.gather(
+        facesp, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2)),
+        slice_sizes=(1, 2, 2, 3),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(shape + (2, 2, 3))
+    c00 = patches[..., 0, 0, :]
+    c01 = patches[..., 0, 1, :]
+    c10 = patches[..., 1, 0, :]
+    c11 = patches[..., 1, 1, :]
     return ((1 - fv) * ((1 - fu) * c00 + fu * c01)
             + fv * ((1 - fu) * c10 + fu * c11))
 
