@@ -73,7 +73,12 @@ ROWS_FEAT = 13     # packed rows with the 3 feature channels
 ROWS_PHYS = 16
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
-T_EPS = 1e-5       # chunk-level early-termination transmittance
+# Chunk-level early-termination transmittance. The CUDA rasterizers stop
+# per PIXEL once accumulated alpha reaches 0.9999, i.e. T < 1e-4
+# (diff-gaussian-rasterization forward.cu); matching that bound stops
+# whole tiles earlier than the previous 1e-5 and the truncated tail is
+# bounded by T_EPS, within the 1e-4 oracle gate.
+T_EPS = 1e-4
 HP = jax.lax.Precision.HIGHEST
 # Instance-chunk width: the kernels' DMA granularity, the binning
 # layout's segment alignment, and the early-termination granularity.

@@ -40,7 +40,7 @@ def chain_time(f, x, iters=8, name=""):
 def main():
     n = 500_000
     width, height = 1920, 1080
-    budget = 23 << 16
+    budget = 20 << 16
     params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)

@@ -49,7 +49,7 @@ def chain_time(f, x, iters=8, name=""):
 def main():
     n = 500_000
     width, height = 1920, 1080
-    budget = 23 << 16          # 1.507M, the bench budget
+    budget = 20 << 16          # 1.311M, the bench budget
     params, alive = _street_gaussians(n)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
