@@ -159,7 +159,7 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
         body = np.tile(np.array([1.0, 0, 0, 0], np.float32),
                        (n_frames, 1, N_JOINTS, 1))
         for f in range(n_frames):
-            ped_track[f, :3, 3] = [9.0 + 0.55 * f, -3.5, 1.0]
+            ped_track[f, :3, 3] = [8.0 + 0.55 * f, -2.6, 1.0]
             ph = stride * f
             # legs (hips 1/2) and arms (shoulders 16/17) swing about the
             # world-y axis, opposite phase; knees flex on the back swing
@@ -375,7 +375,7 @@ def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
                    + rng.randn(len(vsel), 3).astype(np.float32) * 0.02)
         if ped_world is not None:
             psel = rng.choice(ped_world[f].shape[0],
-                              min(n_lidar // 12, ped_world[f].shape[0]),
+                              min(n_lidar // 5, ped_world[f].shape[0]),
                               replace=False)
             pts.append(ped_world[f][psel]
                        + rng.randn(len(psel), 3).astype(np.float32) * 0.02)
