@@ -144,10 +144,11 @@ def _coverage_mask(means2d, conics, s_cut, tx0, ty0, w_t, h_t, tile_size):
     cb = conics[:, 1:2]
     cc = conics[:, 2:3]
     half = 0.5 * tile_size - 0.5  # pixel centers span tile_center +- half
-    thr = (s_cut[:, None]
-           + half * (jnp.sqrt(jnp.maximum(ca, 0.0))
-                     + jnp.sqrt(jnp.maximum(cc, 0.0)))
-           + 1e-3)
+    # exact corner maximum of sqrt(q) over the tile box (see
+    # coverage_pallas) — tighter than the triangle-inequality bound
+    r_tile = jnp.sqrt(jnp.maximum(
+        (ca + cc + 2.0 * jnp.abs(cb)) * (half * half), 0.0))
+    thr = s_cut[:, None] + r_tile + 1e-3
     thr2 = thr * thr
 
     k = jnp.arange(MASK_BITS, dtype=jnp.int32)[None, :]       # (1, 64)

@@ -54,8 +54,13 @@ def _coverage_kernel(flt_ref, geo_ref, out_ref, *, tile_size: int):
     wh = w_t * h_t
     w_safe = jnp.maximum(w_t, 1)
     half = 0.5 * tile_size - 0.5
-    thr = (s_cut + half * (jnp.sqrt(jnp.maximum(ca, 0.0))
-                           + jnp.sqrt(jnp.maximum(cc, 0.0))) + 1e-3)
+    # exact corner maximum of sqrt(q) over the half x half tile box:
+    # max q = ca h^2 + 2|cb| h h + cc h^2 (signs align at a corner) —
+    # strictly tighter than the triangle-inequality h(sqrt(ca)+sqrt(cc))
+    # while staying conservative (a kept tile can still reach 1/255)
+    r_tile = jnp.sqrt(jnp.maximum(
+        (ca + cc + 2.0 * jnp.abs(cb)) * (half * half), 0.0))
+    thr = s_cut + r_tile + 1e-3
     thr2 = thr * thr
     # tile-center coordinates of the bbox origin
     cx0 = tx0.astype(jnp.float32) * tile_size + tile_size / 2.0

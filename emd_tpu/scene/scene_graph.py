@@ -28,6 +28,7 @@ from ..motion.deformable import (
     DeformableParams,
     deformable_world_gaussians,
 )
+from ..motion.pvg import PvgConfig
 from ..motion.rigid import RigidAux, RigidConfig, RigidParams, \
     rigid_world_gaussians
 from ..raster.rasterize import RasterOut, rasterize
@@ -91,7 +92,7 @@ class SceneConfig:
     sh_degree_interval: int = 1000
     # PVG background variant (used when params.bg_pvg is set):
     # frame -> normalized time needs the clip length at trace time
-    pvg: "PvgConfigT" = None            # motion.pvg.PvgConfig or None
+    pvg: PvgConfig | None = None
     pvg_num_frames: int = 1
 
 
