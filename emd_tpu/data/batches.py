@@ -164,8 +164,16 @@ class BatchSource:
         s = self.scene
         kw = self._common(f, c)
         t = f / max(s.num_frames - 1, 1)
+        feat = None
+        if s.features is not None and s.features[f][c] is not None:
+            # DINO-PCA map -> image resolution (the reference bilinearly
+            # maps image coords to ViT patch coords; resizing the 3-dim
+            # PCA map is equivalent for the l1 feat loss)
+            h, w = kw["rgb"].shape[:2]
+            feat = jax.image.resize(jnp.asarray(s.features[f][c]),
+                                    (h, w, 3), method="bilinear")
         batch = S3Batch(t=jnp.asarray(t, jnp.float32),
-                        cam_no=jnp.asarray(min(c, 2)), **kw)
+                        cam_no=jnp.asarray(min(c, 2)), feat=feat, **kw)
         self._dev_cache[key] = batch
         return batch
 

@@ -58,6 +58,9 @@ class SceneData:
     human_masks: np.ndarray | None = None   # (F, C, H, W) bool (fine
     vehicle_masks: np.ndarray | None = None # dynamic masks, OmniRe
                                             # fine_dynamic_masks)
+    features: list | None = None            # F x (C, Hp, Wp, 3) DINO-PCA
+                                            # maps (S3 feat supervision,
+                                            # dataset_readers.py:216-230)
 
     @property
     def num_frames(self) -> int:
@@ -331,6 +334,20 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
             lidar_pts.append(pts.astype(np.float32))
             lidar_org.append(org.astype(np.float32))
 
+    # optional DINO-PCA feature maps (features/{f:03d}_{c}.npy, written
+    # by tools/extract_features.py; consumed by the S3 feat loss)
+    feats = None
+    fdir = os.path.join(scene_dir, "features")
+    if os.path.isdir(fdir):
+        feats = []
+        for f in frames:
+            per_cam = []
+            for c in cams:
+                p = os.path.join(fdir, f"{f:03d}_{c}.npy")
+                per_cam.append(np.load(p).astype(np.float32)
+                               if os.path.exists(p) else None)
+            feats.append(per_cam)
+
     instances = _load_instances(scene_dir, frames, base_inv)
     _attach_smpl_poses(scene_dir, frames, cams, instances,
                        cam_to_worlds.astype(np.float32))
@@ -339,7 +356,7 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                      sky_masks=sky, dynamic_masks=dyn,
                      human_masks=human, vehicle_masks=vehicle,
                      lidar_points=lidar_pts, lidar_origins=lidar_org,
-                     instances=instances)
+                     instances=instances, features=feats)
 
 
 def _sniff_lidar_width(raw: np.ndarray) -> int:
