@@ -18,6 +18,7 @@ inside jit — growth is a host-side decision between steps).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -115,6 +116,9 @@ def _write_children(params: GaussianParams, alive, src_order, dst_order,
     return new_params, new_alive, written, n_children - n_written
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scene_scale",
+                                    "use_screen_cull"))
 def refine(
     key: jax.Array,
     params: GaussianParams,
@@ -123,7 +127,7 @@ def refine(
     dstate: DensifyState,
     cfg: DensifyConfig,
     scene_scale: float,
-    use_screen_cull: jax.Array | bool = False,
+    use_screen_cull: bool = False,
     extra_candidate: jax.Array | None = None,
     extra_split: jax.Array | None = None,
 ) -> RefineOut:
@@ -220,6 +224,7 @@ def refine(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("value",))
 def reset_opacity(params: GaussianParams, opt: AdamState,
                   value: float = 0.01) -> tuple[GaussianParams, AdamState]:
     """Clamp opacity down to `value` and zero its Adam moments
