@@ -396,13 +396,16 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         s_start = s_end - csum
         t_g = jnp.exp(s_start) * pex                       # (C, NPX)
         w = alpha * t_g
-        wbar = jnp.dot(terms["colors"], grgb,
-                       preferred_element_type=jnp.float32, precision=HP) \
-            + terms["depth"] * gdep                         # (C, NPX)
+        # one fused (C, 4|7) @ (4|7, NPX) matmul: rgb + depth (+ feat)
+        lhs = [terms["colors"], terms["depth"]]
+        rhs = [grgb, gdep]
         if with_feat:
-            wbar = wbar + jnp.dot(terms["feat"], gfea,
-                                  preferred_element_type=jnp.float32,
-                                  precision=HP)
+            lhs.append(terms["feat"])
+            rhs.append(gfea)
+        wbar = jnp.dot(jnp.concatenate(lhs, axis=1),
+                       jnp.concatenate(rhs, axis=0),
+                       preferred_element_type=jnp.float32,
+                       precision=HP)                        # (C, NPX)
         ww = w * wbar
         # suffix-exclusive sum along C: chunk total - inclusive scan.
         # (A strict-upper-triangle MXU matmul was measured SLOWER on v5e
