@@ -29,15 +29,15 @@ ZERO budget-sized scatters in either direction:
      the top bits of the positive-float depth pattern in the low bits
      (positive IEEE floats compare like their bit patterns — the CUDA
      radix-key trick) — carrying the owning gaussian id as payload.
-  4. per-tile counts from the *sorted* keys via searchsorted (T+1 binary
-     searches — no histogram scatter-add). The chunk-PADDED layout the
-     Pallas compositor consumes is built by a SECOND fused sort: the
-     layout is a near-identity permutation (dst = slot + per-tile pad
-     shift), so every entry — real instances plus broadcast-generated
-     hole entries for the padding tails — carries its destination slot
-     as an i32 sort key and one more `jax.lax.sort` materializes the
-     padded gid array (~2.5 ms, vs 15.8 ms for the equivalent
-     budget-sized gather on a v5e chip).
+  4. per-tile EXACT segment boundaries from the *sorted* keys via
+     searchsorted (T+1 binary searches — no histogram scatter-add). The
+     (tile|depth)-sorted array IS the compositor layout: no per-tile
+     chunk padding, no second sort, no hole entries. The Pallas
+     compositor walks each tile over the chunk-ALIGNED window covering
+     its exact segment and zero-masks the out-of-segment lanes; adjacent
+     tiles share at most one boundary chunk, which is race-free because
+     a TPU Pallas grid executes sequentially on one core (the backward
+     merges shared chunks with a read-modify-write).
 
 Gradients never flow through the index math, but the binning result
 carries per-gaussian segment bounds (`seg_starts/ends`) that let the

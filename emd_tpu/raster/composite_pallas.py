@@ -167,14 +167,15 @@ def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
 # below this is clamped before the log that folds it into the running
 # per-pixel log-transmittance. Both kernels clamp identically, so the
 # backward's reverse reconstruction stays EXACT; the clamp drops s by
-# >= 69 in one chunk, so chunk-level early termination (T_EPS = 1e-5)
+# >= 69 in one chunk, so chunk-level early termination (T_EPS = 1e-4)
 # fires immediately after and the truncated tail (true T < 1e-30) is
 # below gradient noise. WITHIN a chunk the f32 prefix product itself can
 # underflow to exactly 0 over a long run of near-ALPHA_MAX gaussians,
 # zeroing tail weights/gradients inside that chunk; the true values there
 # are sub-denormal, and the previous log-space form hit the same
-# exp-underflow cutoff, so this is expected and benign (oracle gate
-# passes at 1.8e-6).
+# exp-underflow cutoff, so this is expected and benign (the on-chip
+# oracle gate passes at 3.9e-5, bounded by the CUDA-matched T_EPS=1e-4
+# early termination, not by this floor).
 PROD_FLOOR = 1e-30
 
 
