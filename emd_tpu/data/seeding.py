@@ -30,10 +30,30 @@ from .depth import lidar_colors
 from .scene_data import InstanceAnn, SceneData
 
 RIGID_CLASSES = ("vehicle", "car", "truck", "bus", "trailer",
-                 "van", "tram")
-DEFORM_CLASSES = ("cyclist", "bicycle", "motorcycle", "bicyclist")
+                 "van", "tram", "train", "subway", "emergency",
+                 "construction", "pedicab", "uncommon", "semi-truck")
+DEFORM_CLASSES = ("cyclist", "bicycle", "motorcycle", "bicyclist",
+                  "scooter", "mobility", "animal", "animals")
 SMPL_CLASSES = ("pedestrian", "person", "human",
-                "person_sitting")
+                "person_sitting", "stroller", "wheelchair")
+
+
+def class_matches(name: str, classes: tuple[str, ...]) -> bool:
+    """Route an annotation class name to a node type by token: handles
+    the per-dataset taxonomies (waymo/kitti single words, nuscenes
+    dotted 'vehicle.car' / 'human.pedestrian.adult', pandaset phrases
+    like 'Pickup Truck'). Non-rigid tokens take precedence over rigid
+    ones at the call sites (deform/smpl are checked first), matching
+    the reference's per-dataset type maps
+    (nuscenes_sourceloader.py:24-52, pandaset_sourceloader.py:22-42)."""
+    toks = set(name.lower().replace(".", " ").replace("-", " ").split())
+    toks.add(name.lower())
+    if toks & set(DEFORM_CLASSES) and classes is RIGID_CLASSES:
+        return False           # vehicle.bicycle et al are deformable
+    if toks & set(SMPL_CLASSES) and classes in (RIGID_CLASSES,
+                                                DEFORM_CLASSES):
+        return False
+    return bool(toks & set(classes))
 
 
 def _in_box(pts_world, pose, size, margin=1.0):
@@ -167,7 +187,7 @@ def seed_instances(scene: SceneData, classes: tuple[str, ...],
 
     rng = np.random.RandomState(seed)
     chosen = [a for a in scene.instances
-              if a.class_name.lower() in classes
+              if class_matches(a.class_name, classes)
               and (not only_moving or is_moving(a))]
     if not chosen:
         return None
