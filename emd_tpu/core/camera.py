@@ -78,13 +78,10 @@ def pixel_centers(width: int, height: int) -> jax.Array:
     return jnp.stack([x, y], axis=-1)
 
 
-def camera_rays(cam: Camera) -> tuple[jax.Array, jax.Array]:
-    """Per-pixel world-space ray origins (3,) and directions (H, W, 3).
-
-    Matches the reference ray generators (OmniRe pixel_source.get_rays,
-    S3 get_rays_torch at utils/graphics_utils.py:220): unit-normalized
-    directions through pixel centers."""
-    pix = pixel_centers(cam.width, cam.height)
+def rays_at(cam: Camera, pix: jax.Array) -> jax.Array:
+    """Unit world-space ray directions through arbitrary pixel
+    coordinates `pix` (..., 2) — the shared core of `camera_rays` and
+    the coarse-grid sky sampler (`scene.sky.sky_pixels`)."""
     fx = cam.K[..., 0, 0]
     fy = cam.K[..., 1, 1]
     cx = cam.K[..., 0, 2]
@@ -96,9 +93,18 @@ def camera_rays(cam: Camera) -> tuple[jax.Array, jax.Array]:
     ], axis=-1)
     c2w = cam.camtoworld
     dirs_world = dirs_cam @ c2w[..., :3, :3].swapaxes(-1, -2)
-    dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1,
-                                              keepdims=True)
-    origin = c2w[..., :3, 3]
+    return dirs_world / jnp.linalg.norm(dirs_world, axis=-1,
+                                        keepdims=True)
+
+
+def camera_rays(cam: Camera) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel world-space ray origins (3,) and directions (H, W, 3).
+
+    Matches the reference ray generators (OmniRe pixel_source.get_rays,
+    S3 get_rays_torch at utils/graphics_utils.py:220): unit-normalized
+    directions through pixel centers."""
+    dirs_world = rays_at(cam, pixel_centers(cam.width, cam.height))
+    origin = cam.camtoworld[..., :3, 3]
     return origin, dirs_world
 
 

@@ -348,7 +348,7 @@ def build_scene_params(
     key=None,
     n_lidar: int = 60_000,
     n_random: int = 40_000,
-    sky_resolution: int = 512,
+    sky_resolution: int = 128,
     rigid_cfg: RigidConfig = RigidConfig(),
     deform_cfg: DeformableConfig = DeformableConfig(),
     with_smpl: bool = True,

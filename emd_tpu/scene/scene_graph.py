@@ -20,7 +20,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.camera import Camera, camera_rays
+from ..core.camera import Camera
 from ..core.quat import quat_normalize
 from ..core.sh import eval_sh
 from ..motion.deformable import (
@@ -40,8 +40,7 @@ from .correction import (
     correct_camtoworld,
 )
 from ..core.gaussians import GaussianParams, activate, sh_degree_mask
-from .sky import SkyCubemap, SkyMLP, composite_sky, \
-    sample_cubemap, sky_mlp_color
+from .sky import SkyCubemap, SkyMLP, composite_sky, sky_pixels
 
 CLASS_NAMES = ("Background", "RigidNodes", "DeformableNodes", "SMPLNodes")
 
@@ -94,6 +93,9 @@ class SceneConfig:
     # frame -> normalized time needs the clip length at trace time
     pvg: PvgConfig | None = None
     pvg_num_frames: int = 1
+    # coarse-grid sky sampling factor (scene.sky.sky_pixels): None =
+    # auto from image/cubemap resolution, 1 = exact per-pixel
+    sky_factor: int | None = None
 
 
 class SceneRender(NamedTuple):
@@ -252,14 +254,12 @@ def render_scene(
     sky_rgb = None
     rgb = out.rgb
     if params.sky is not None:
-        _, viewdirs = camera_rays(cam)
-        if isinstance(params.sky, SkyMLP):
-            # MLP sky with per-image appearance (SkyModel,
-            # modules.py:114-168; mean embedding on test frames)
-            sky_rgb = sky_mlp_color(params.sky, viewdirs, img_idx,
-                                    use_mean_embedding=in_test_set)
-        else:
-            sky_rgb = sample_cubemap(params.sky, viewdirs)
+        # MLP sky uses per-image appearance (SkyModel, modules.py:
+        # 114-168; mean embedding on test frames); both sky types are
+        # evaluated on a coarse grid + bilinear upsample (sky_pixels)
+        sky_rgb = sky_pixels(params.sky, cam, img_idx,
+                             use_mean_embedding=in_test_set,
+                             factor=cfg.sky_factor)
         rgb = composite_sky(rgb, out.alpha, sky_rgb)
 
     if params.affine is not None:

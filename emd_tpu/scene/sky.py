@@ -70,11 +70,13 @@ def _cubemap_uv(d: jax.Array):
 def sample_cubemap(cube: SkyCubemap, dirs: jax.Array) -> jax.Array:
     """Bilinear cubemap lookup for world directions (..., 3) -> (..., 3).
 
-    ONE patch gather instead of four corner gathers: XLA's TPU gather
-    cost is per-INDEX, so fetching the 2x2x3 bilinear footprint as a
-    single slice quarters the index count (and the backward's
-    scatter-adds likewise). Faces are edge-padded by one texel so the
-    patch is always in-bounds with exact clamp semantics."""
+    Four flat-index corner `take`s from the edge-padded face table.
+    A single 2x2x3 patch gather would quarter the forward index count,
+    but its TRANSPOSE — a multi-dim windowed scatter-add — hits XLA's
+    serial TPU scatter path (measured 148 ms for 32k patches on a v5e);
+    flat 1-D takes transpose to the plain per-index scatter-add
+    (~36 ms per 2M indices). Per-pixel callers go through
+    `sky_pixels`, whose coarse grid makes both directions cheap."""
     d = dirs @ _TO_OPENGL.T
     face, u, v = _cubemap_uv(d)
     r = cube.faces.shape[1]
@@ -86,22 +88,19 @@ def sample_cubemap(cube: SkyCubemap, dirs: jax.Array) -> jax.Array:
     fv = (pv - v0)[..., None]
     facesp = jnp.pad(cube.faces, ((0, 0), (0, 1), (0, 1), (0, 0)),
                      mode="edge")
+    rp = r + 1
+    table = facesp.reshape(6 * rp * rp, 3)
+    base = (face * rp + v0) * rp + u0
     shape = face.shape
-    starts = jnp.stack([face.reshape(-1), v0.reshape(-1),
-                        u0.reshape(-1)], axis=-1)
-    patches = jax.lax.gather(
-        facesp, starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2)),
-        slice_sizes=(1, 2, 2, 3),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(shape + (2, 2, 3))
-    c00 = patches[..., 0, 0, :]
-    c01 = patches[..., 0, 1, :]
-    c10 = patches[..., 1, 0, :]
-    c11 = patches[..., 1, 1, :]
+
+    def corner(off):
+        return table.at[base.reshape(-1) + off].get(
+            mode="promise_in_bounds").reshape(shape + (3,))
+
+    c00 = corner(0)
+    c01 = corner(1)
+    c10 = corner(rp)
+    c11 = corner(rp + 1)
     return ((1 - fv) * ((1 - fu) * c00 + fu * c01)
             + fv * ((1 - fu) * c10 + fu * c11))
 
@@ -150,3 +149,69 @@ def sky_mlp_color(sky: SkyMLP, dirs: jax.Array, img_idx: jax.Array,
 def composite_sky(rgb: jax.Array, alpha: jax.Array,
                   sky_rgb: jax.Array) -> jax.Array:
     return rgb + sky_rgb * (1.0 - alpha[..., None])
+
+
+def _auto_sky_factor(width: int, bandwidth: int) -> int:
+    """Static coarse-grid factor for per-pixel sky evaluation.
+
+    A cubemap face spans >= the horizontal FOV, so `bandwidth` texels
+    (face resolution, or the MLP's equivalent angular bandwidth) cover
+    at least the FOV's pixels. Assuming FOV <= 120 deg (a face covers
+    90 deg -> up to 4/3 faces across), one texel spans
+    >= width / (4/3 * bandwidth) pixels; sampling every
+    floor(span/2) <= Nyquist pixels loses nothing a bilinear
+    reconstruction of the texture had. Resolution-only on purpose:
+    fx is a traced value inside jit, and the factor must be static."""
+    span = width / (1.34 * bandwidth)
+    return int(max(1, min(8, span / 2.0)))
+
+
+def sky_pixels(sky, cam, img_idx: jax.Array | None = None,
+               use_mean_embedding: bool = False,
+               factor: int | None = None) -> jax.Array:
+    """Sky RGB for every pixel of `cam` — (H, W, 3).
+
+    TPU-native replacement for the per-pixel texture fetch: XLA's TPU
+    gather/scatter costs are per-INDEX (~18 ms per 2M gathered indices,
+    ~36 ms per 2M scatter-adds on a v5e), so a 1080p cubemap lookup
+    costs ~37 ms forward and more backward — for a texture whose texel
+    footprint is tens of screen pixels. Instead the sky is sampled on a
+    coarse grid that still out-resolves the texture's bandwidth
+    (`_auto_sky_factor`) and bilinearly upsampled (`jax.image.resize`
+    'linear' matches pixel-center alignment exactly); gather and the
+    backward's scatter-add shrink by factor^2 (64x at 1080p/64-face).
+    `factor=1` is the exact per-pixel path; `factor=None` auto-selects.
+    Gradients flow to the sky params through the (linear) upsample.
+
+    The auto factor never undersamples the texture, so cubemaps at
+    >= ~512 faces resolve to factor 1 and pay the full per-pixel
+    gather/scatter (~0.5 s/step at 1080p/1024) — on TPU prefer the
+    128-face default the seeding uses (a driving sky at 1080p spans
+    ~15 px/texel there) or an explicit `sky_factor` override."""
+    from ..core.camera import rays_at
+
+    h, w = cam.height, cam.width
+    if factor is None:
+        bw = sky.faces.shape[1] if isinstance(sky, SkyCubemap) else 64
+        factor = _auto_sky_factor(w, bw)
+    hc = max(1, -(-h // factor))
+    wc = max(1, -(-w // factor))
+    if (hc, wc) != (h, w):
+        # sample where resize's linear kernel puts its input pixel
+        # centers: input j maps to full-res coordinate (j+0.5)*size/coarse
+        xs = (jnp.arange(wc, dtype=jnp.float32) + 0.5) * (w / wc)
+        ys = (jnp.arange(hc, dtype=jnp.float32) + 0.5) * (h / hc)
+        x, y = jnp.meshgrid(xs, ys, indexing="xy")
+        pix = jnp.stack([x, y], axis=-1)
+    else:
+        from ..core.camera import pixel_centers
+        pix = pixel_centers(w, h)
+    dirs = rays_at(cam, pix)
+    if isinstance(sky, SkyCubemap):
+        rgb = sample_cubemap(sky, dirs)
+    else:
+        rgb = sky_mlp_color(sky, dirs, img_idx,
+                            use_mean_embedding=use_mean_embedding)
+    if (hc, wc) != (h, w):
+        rgb = jax.image.resize(rgb, (h, w, 3), method="linear")
+    return rgb

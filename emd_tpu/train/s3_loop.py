@@ -92,13 +92,20 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
             scene, num_pts=loop.num_init_pts, seed=loop.seed,
             sh_bases=cfg.field.sh_bases, cache_dir=loop.depth_cache)
         lo, hi = scene.aabb()
+        if cfg.field.backbone == "hash":
+            # the hash path's MERF contraction gets the aabb statically
+            cfg = dataclasses.replace(cfg, field=cfg.field._replace(
+                hash_aabb_lo=tuple(float(v) for v in lo),
+                hash_aabb_hi=tuple(float(v) for v in hi)))
         field = create_s3_field(jax.random.PRNGKey(loop.seed), cfg.field)
-        field = field._replace(hexplane=set_aabb(field.hexplane, lo, hi))
+        if field.hexplane is not None:
+            field = field._replace(
+                hexplane=set_aabb(field.hexplane, lo, hi))
         params = S3Params(
             gauss=gauss,
             embeddings=jnp.zeros(
                 (gauss.capacity, cfg.field.gaussian_embedding_dim)),
-            field=field, sky=SkyCubemap.create(512))
+            field=field, sky=SkyCubemap.create(128))
     else:
         params, alive = params_alive
     state = create_s3_train_state(params, alive)

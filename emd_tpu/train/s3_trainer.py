@@ -24,7 +24,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.camera import Camera, camera_rays
+from ..core.camera import Camera
 from ..core.gaussians import GaussianParams
 from ..core.quat import quat_normalize
 from ..core.sh import eval_sh
@@ -33,7 +33,7 @@ from ..motion.hexplane import plane_tv_loss, time_l1_loss, \
     time_smoothness_loss
 from ..motion.s3field import S3FieldConfig, S3FieldParams, apply_s3_field
 from ..raster.rasterize import rasterize
-from ..scene.sky import SkyCubemap, composite_sky, sample_cubemap
+from ..scene.sky import SkyCubemap, composite_sky, sky_pixels
 from . import losses
 from .densify import DensifyState, accumulate_stats
 from .optim import AdamState, adam_init, adam_update, expon_lr
@@ -55,6 +55,8 @@ class S3TrainConfig:
     antialiased: bool = False
     interpret: bool | None = None
     sh_degree_interval: int = 1000
+    # coarse-grid sky sampling (scene.sky.sky_pixels): None = auto
+    sky_factor: int | None = None
     # loss weights (S3 train.py defaults)
     w_rgb: float = 0.8
     w_ssim: float = 0.2
@@ -149,7 +151,8 @@ def s3_lr_tree(params: S3Params, cfg: S3TrainConfig, step,
                        cfg.max_steps)
     field = jax.tree.map(lambda _: mlp_lr, params.field)
     field = field._replace(
-        hexplane=jax.tree.map(lambda _: grid_lr, params.field.hexplane))
+        hexplane=jax.tree.map(lambda _: grid_lr, params.field.hexplane),
+        hash=jax.tree.map(lambda _: grid_lr, params.field.hash))
     return S3Params(
         gauss=gauss,
         embeddings=jnp.asarray(cfg.lr_embeddings),
@@ -162,7 +165,7 @@ def s3_lr_tree(params: S3Params, cfg: S3TrainConfig, step,
 def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
               t: jax.Array, cam_no: jax.Array, step: jax.Array,
               fine_stage: bool, means2d_offset=None,
-              render_normals: bool = False):
+              render_normals: bool = False, agg_key=None):
     """One S3 render; returns (rgb, depth, alpha, raster_out, deform_out).
 
     `render_normals` routes per-gaussian surface normals through the
@@ -178,7 +181,7 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
         deform = apply_s3_field(
             params.field, cfg.field, g.means, g.log_scales,
             quat_normalize(g.quats), g.logit_opacities, shs_raw,
-            params.embeddings, t, cam_no, step)
+            params.embeddings, t, cam_no, step, agg_key=agg_key)
         means = deform.means
         log_scales = g.log_scales + deform.scales_delta
         quats = deform.quats
@@ -222,8 +225,7 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
     rgb = out.rgb
     sky_rgb = None
     if params.sky is not None:
-        _, viewdirs = camera_rays(cam)
-        sky_rgb = sample_cubemap(params.sky, viewdirs)
+        sky_rgb = sky_pixels(params.sky, cam, factor=cfg.sky_factor)
         rgb = composite_sky(rgb, out.alpha, sky_rgb)
     return rgb, out, deform
 
@@ -233,9 +235,12 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
 def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
                   spatial_scale: float, fine_stage: bool):
     def loss_fn(params: S3Params, m2d_off):
+        # per-step PRNG key for the aggregation warp's training noise
+        agg_key = (jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+                   if cfg.field.aggregate_feature else None)
         rgb, out, deform = render_s3(params, state.alive, cfg, batch.camera,
                                      batch.t, batch.cam_no, state.step,
-                                     fine_stage, m2d_off)
+                                     fine_stage, m2d_off, agg_key=agg_key)
         ld = {}
         ld["rgb"] = cfg.w_rgb * losses.l1(rgb, batch.rgb)
         ld["ssim"] = cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb)
@@ -259,9 +264,11 @@ def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
             ld["do"] = cfg.w_do * jnp.mean(jnp.abs(deform.opacity_delta))
             ld["dshs"] = cfg.w_dshs * jnp.mean(jnp.abs(deform.shs_delta))
             hp = params.field.hexplane
-            ld["plane_tv"] = cfg.w_plane_tv * plane_tv_loss(hp)
-            ld["time_smooth"] = cfg.w_time_smooth * time_smoothness_loss(hp)
-            ld["time_l1"] = cfg.w_time_l1 * time_l1_loss(hp)
+            if hp is not None:      # grid regs are hexplane-specific
+                ld["plane_tv"] = cfg.w_plane_tv * plane_tv_loss(hp)
+                ld["time_smooth"] = cfg.w_time_smooth * \
+                    time_smoothness_loss(hp)
+                ld["time_l1"] = cfg.w_time_l1 * time_l1_loss(hp)
         if state.knn is not None:
             idx, w = state.knn
             ld["emb_knn"] = cfg.w_emb_knn * embedding_knn_loss(

@@ -263,3 +263,38 @@ def test_sky_mlp_variant():
     # sky varies with direction (random-init MLP)
     s = np.asarray(out.sky_rgb)
     assert s.std() > 1e-5
+
+
+def test_sky_pixels_coarse_grid_matches_exact():
+    """sky_pixels(factor=1) is the exact per-pixel path bitwise; the
+    coarse-grid + bilinear-upsample path must track it closely on a
+    cubemap whose texel footprint exceeds the sampling stride."""
+    from emd_tpu.core.camera import camera_rays
+    from emd_tpu.scene.sky import sample_cubemap, sky_pixels
+
+    key = jax.random.PRNGKey(0)
+    r = 16
+    # smooth random cubemap (low-frequency: upsampled 4x4 noise)
+    coarse = jax.random.uniform(key, (6, 4, 4, 3))
+    faces = jax.image.resize(coarse, (6, r, r, 3), method="linear")
+    sky = SkyCubemap(faces=faces)
+    cam = make_camera(300.0, 300.0, 128.0, 96.0,
+                      look_at((0.0, 0.0, 0.0), (1.0, 0.2, 0.1)), 256, 192)
+
+    _, dirs = camera_rays(cam)
+    exact = sample_cubemap(sky, dirs)
+    assert jnp.array_equal(sky_pixels(sky, cam, factor=1), exact)
+
+    approx = sky_pixels(sky, cam, factor=4)
+    assert approx.shape == (192, 256, 3)
+    err = jnp.abs(approx - exact).max()
+    assert float(err) < 0.02, float(err)
+
+    # auto factor: 256 px wide / 16-texel faces -> stride > 1
+    auto = sky_pixels(sky, cam)
+    assert float(jnp.abs(auto - exact).max()) < 0.02
+
+    # gradients reach the faces through the upsample
+    g = jax.grad(lambda f: jnp.sum(
+        sky_pixels(SkyCubemap(faces=f), cam, factor=4) ** 2))(faces)
+    assert float(jnp.abs(g).sum()) > 0.0
