@@ -11,7 +11,7 @@ D-linearly interpolated and concatenated over levels.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -21,9 +21,17 @@ import numpy as np
 _PRIMES = np.array([1, 2654435761, 805459861, 3674653429], dtype=np.uint32)
 
 
-class HashEncoding(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HashEncoding:
+    """Learnable tables; the per-level resolutions are STATIC aux data
+    (ints can't ride in a grad'd pytree) — they're derived from the
+    config, not learned."""
     tables: jax.Array          # (L, T, F) learnable
-    resolutions: jax.Array     # (L,) int32 per-level grid resolution
+    resolutions: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def num_levels(self) -> int:
@@ -46,7 +54,7 @@ def create_hash_encoding(key, n_input_dims: int = 4, n_levels: int = 10,
     tables = 1e-4 * jax.random.uniform(
         key, (n_levels, t, n_features), minval=-1.0, maxval=1.0)
     return HashEncoding(tables=tables,
-                        resolutions=jnp.asarray(resolutions))
+                        resolutions=tuple(int(r) for r in resolutions))
 
 
 def _hash(coords: jax.Array, table_size: int) -> jax.Array:
@@ -68,7 +76,7 @@ def hash_encode(enc: HashEncoding, x: jax.Array) -> jax.Array:
     corners = jnp.asarray(corners, jnp.int32)           # (2^D, D)
     outs = []
     for lvl in range(enc.num_levels):
-        res = enc.resolutions[lvl].astype(jnp.float32)
+        res = float(enc.resolutions[lvl])
         pos = jnp.clip(x, 0.0, 1.0) * (res - 1.0)
         p0 = jnp.floor(pos).astype(jnp.int32)           # (N, D)
         frac = pos - p0

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.quat import quat_multiply, quat_normalize
+from .hash_encoding import HashEncoding, create_hash_encoding, hash_encode
 from .hexplane import HexPlane, hexplane_features, init_hexplane
 from .mlp import Linear, linear_init
 from .temporal import c2f_num_embeddings, temporal_embed
@@ -75,12 +76,15 @@ class DinoHead(NamedTuple):
 
 
 class S3FieldParams(NamedTuple):
-    hexplane: HexPlane
+    hexplane: HexPlane | None     # one backbone is set, the other None
     temporal_grid: jax.Array      # (E_max, D_t) global grid
     coarse: S3DecoderParams
     fine: S3DecoderParams
     time_offset: jax.Array        # (n_cams, 1)
     dino: DinoHead | None
+    # instant-NGP 4-D (x,y,z,t) hash backbone — the reference's
+    # `is_use_hash` alternative (deformation.py:30-41)
+    hash: HashEncoding | None = None
 
 
 class S3FieldConfig(NamedTuple):
@@ -102,18 +106,48 @@ class S3FieldConfig(NamedTuple):
     no_do: bool = False
     no_dshs: bool = False
     apply_coarse_dx: bool = True
+    # backbone select (deformation.py:30-41 is_use_hash) + hash config
+    # (gaussian_options.py:145-150)
+    backbone: str = "hexplane"           # "hexplane" | "hash"
+    hash_n_levels: int = 10
+    hash_n_features: int = 4
+    hash_base_resolution: int = 32
+    hash_max_resolution: int = 8192
+    hash_log2_size: int = 18
+    # scene AABB for the hash path's MERF contraction (the reference's
+    # set_aabb; static here so the traced field stays shape-stable)
+    hash_aabb_lo: tuple = (-1.6, -1.6, -1.6)
+    hash_aabb_hi: tuple = (1.6, 1.6, 1.6)
+    # temporal feature-aggregation warp (deformation.py:254-296,
+    # gaussian_options.py:151-153): blend the decoder hidden state with
+    # features re-queried at +/- warped (time, position)
+    aggregate_feature: bool = False
+    aggregate_time_warp: bool = True
+    aggregate_space_warp: bool = True
+    aggregate_time_diff: float = 1.0
 
 
 def create_s3_field(key, cfg: S3FieldConfig,
                     hex_reso=(64, 64, 64, 25), hex_dim=32,
                     multires=(1, 2, 4, 8), bounds=1.6) -> S3FieldParams:
     ks = jax.random.split(key, 5)
-    hp = init_hexplane(ks[0], hex_reso, hex_dim, multires, bounds)
-    feat_dim = hex_dim * len(multires)
+    hp, hsh = None, None
+    if cfg.backbone == "hash":
+        hsh = create_hash_encoding(
+            ks[0], n_input_dims=4, n_levels=cfg.hash_n_levels,
+            n_features=cfg.hash_n_features,
+            base_resolution=cfg.hash_base_resolution,
+            max_resolution=cfg.hash_max_resolution,
+            log2_hashmap_size=cfg.hash_log2_size)
+        feat_dim = hsh.out_dim
+    else:
+        hp = init_hexplane(ks[0], hex_reso, hex_dim, multires, bounds)
+        feat_dim = hex_dim * len(multires)
     d_in = feat_dim + cfg.temporal_embedding_dim + cfg.gaussian_embedding_dim
     std = 0.01 / jnp.sqrt(jnp.asarray(cfg.temporal_embedding_dim, jnp.float32))
     return S3FieldParams(
         hexplane=hp,
+        hash=hsh,
         temporal_grid=std * jax.random.normal(
             ks[1], (cfg.max_embeddings, cfg.temporal_embedding_dim)),
         coarse=_decoder_init(ks[2], d_in, cfg.width, cfg.sh_bases),
@@ -136,21 +170,63 @@ class Deformed(NamedTuple):
     feat: jax.Array | None        # DINO feature render input
 
 
-def _decode(dec: S3DecoderParams, hp, temporal_grid, pts, t, emb, n_emb,
-            cfg: S3FieldConfig):
-    hex_feat = hexplane_features(hp, pts, t)
-    temb = temporal_embed(temporal_grid, t[0], n_emb)        # (D_t,)
+def _backbone_features(params: S3FieldParams, cfg: S3FieldConfig,
+                       pts, t) -> jax.Array:
+    """Spatio-temporal feature query: hexplane, or the 4-D hash grid on
+    MERF-contracted positions (deformation.py query_hexplane:187-199)."""
+    if params.hash is not None:
+        from .deformgs import merf_contract
+        lo = jnp.asarray(cfg.hash_aabb_lo, jnp.float32)
+        hi = jnp.asarray(cfg.hash_aabb_hi, jnp.float32)
+        xn = (pts - lo) / (hi - lo) * 2.0 - 1.0
+        xn = (merf_contract(xn) + 2.0) / 4.0       # unbounded -> [0, 1]
+        x4 = jnp.concatenate([xn, t[:, None]], axis=-1)
+        return hash_encode(params.hash, x4)
+    return hexplane_features(params.hexplane, pts, t)
+
+
+def _decode(dec: S3DecoderParams, params: S3FieldParams, pts, t, emb,
+            n_emb, cfg: S3FieldConfig):
+    feat = _backbone_features(params, cfg, pts, t)
+    temb = temporal_embed(params.temporal_grid, t[0], n_emb)  # (D_t,)
     temb = jnp.broadcast_to(temb[None, :], (pts.shape[0], temb.shape[0]))
-    h = jnp.concatenate([hex_feat, temb, emb], axis=-1)
+    h = jnp.concatenate([feat, temb, emb], axis=-1)
     h = dec.feature_out(h)                                    # (N, W)
     return h
+
+
+def _aggregate(dec: S3DecoderParams, params: S3FieldParams, pts, t, emb,
+               n_emb, cfg: S3FieldConfig, h, key=None):
+    """Temporal feature aggregation (deformation.py get_feature:254-296):
+    re-query the decoder features at time/position warped forward and
+    backward along the field's own motion, and blend
+    0.5*h + 0.25*h_fwd + 0.25*h_bwd. Training draws a random warp scale
+    per gaussian (`key`); eval uses the full time_diff."""
+    noise = (jax.random.uniform(key, (pts.shape[0], 1)) if key is not None
+             else jnp.ones((pts.shape[0], 1)))
+    tw = cfg.aggregate_time_diff * noise[:, 0]
+    t_fwd = jnp.clip(t + tw, 0.0, 1.0) if cfg.aggregate_time_warp else t
+    t_bwd = jnp.clip(t - tw, 0.0, 1.0) if cfg.aggregate_time_warp else t
+    if cfg.aggregate_space_warp:
+        dx = dec.pos(h)
+        pts_fwd, pts_bwd = pts + dx, pts - dx
+    else:
+        pts_fwd = pts_bwd = pts
+    h_fwd = _decode(dec, params, pts_fwd, t_fwd, emb, n_emb, cfg)
+    h_bwd = _decode(dec, params, pts_bwd, t_bwd, emb, n_emb, cfg)
+    return 0.5 * h + 0.25 * h_fwd + 0.25 * h_bwd
 
 
 def apply_s3_field(params: S3FieldParams, cfg: S3FieldConfig,
                    means, log_scales, quats, logit_opacities, shs,
                    embeddings, t: jax.Array, cam_no: jax.Array,
-                   step: jax.Array) -> Deformed:
-    """Deform the full gaussian soup at scalar time t in [0,1]."""
+                   step: jax.Array, agg_key=None) -> Deformed:
+    """Deform the full gaussian soup at scalar time t in [0,1].
+
+    `agg_key`: PRNG key enabling the training-mode random warp scale of
+    the feature-aggregation blend (cfg.aggregate_feature); None = eval
+    semantics (full time_diff), matching the reference's is_train flag
+    (deformation.py:261-265)."""
     n = means.shape[0]
     if not cfg.no_time_offset:
         t = t + params.time_offset[cam_no, 0]
@@ -164,8 +240,12 @@ def apply_s3_field(params: S3FieldParams, cfg: S3FieldConfig,
     feat = None
 
     if not cfg.no_coarse_deform:
-        h_c = _decode(params.coarse, params.hexplane, params.temporal_grid,
-                      means, t_col, embeddings, cfg.min_embeddings, cfg)
+        h_c = _decode(params.coarse, params, means, t_col, embeddings,
+                      cfg.min_embeddings, cfg)
+        if cfg.aggregate_feature:
+            h_c = _aggregate(params.coarse, params, means, t_col,
+                             embeddings, cfg.min_embeddings, cfg, h_c,
+                             agg_key)
         dx_c = params.coarse.pos(h_c)
         ds_c = params.coarse.scales(h_c)
         dr_c = params.coarse.rotations(h_c)
@@ -184,8 +264,13 @@ def apply_s3_field(params: S3FieldParams, cfg: S3FieldConfig,
     if not cfg.no_fine_deform:
         n_fine = c2f_num_embeddings(step, cfg.min_embeddings,
                                     cfg.max_embeddings, cfg.c2f_temporal_iter)
-        h_f = _decode(params.fine, params.hexplane, params.temporal_grid,
-                      pts_f, t_col, embeddings, n_fine, cfg)
+        h_f = _decode(params.fine, params, pts_f, t_col, embeddings,
+                      n_fine, cfg)
+        if cfg.aggregate_feature:
+            h_f = _aggregate(params.fine, params, pts_f, t_col,
+                             embeddings, n_fine, cfg, h_f,
+                             (jax.random.fold_in(agg_key, 1)
+                              if agg_key is not None else None))
         dx_f = params.fine.pos(h_f)
         ds_f = params.fine.scales(h_f)
         dr_f = params.fine.rotations(h_f)

@@ -233,3 +233,66 @@ def test_grow_points_fills_dead_slots():
     assert n1 > n0
     # new points live near the isolated originals, moments zeroed
     assert bool(jnp.all(jnp.isfinite(state2.params.gauss.means)))
+
+
+def test_hash_backbone_field():
+    """The hash backbone (deformation.py:30-41 is_use_hash) is a
+    selectable drop-in for the hexplane: field creates with 4-D hash
+    tables, deforms, trains a step, and the tables receive gradient."""
+    key = jax.random.PRNGKey(3)
+    params, alive, _ = build(key)
+    fcfg = S3FieldConfig(sh_bases=4, n_cams=3, feat_head=False,
+                         backbone="hash", hash_n_levels=3,
+                         hash_max_resolution=64, hash_log2_size=8,
+                         hash_aabb_lo=(-2.0, -2.0, 3.0),
+                         hash_aabb_hi=(2.0, 2.0, 7.0))
+    field = create_s3_field(key, fcfg)
+    assert field.hexplane is None and field.hash is not None
+    params = params._replace(field=field)
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True)
+    rgb, out, d = render_s3(params, alive, cfg, cam(), jnp.array(0.4),
+                            jnp.array(0), jnp.array(100), True)
+    assert bool(jnp.all(jnp.isfinite(rgb)))
+    assert float(jnp.abs(d.dx_total).max()) > 1e-7
+
+    state = create_s3_train_state(params, alive)
+    batch = S3Batch(camera=cam(), rgb=jnp.zeros((H, W, 3)),
+                    t=jnp.array(0.4), cam_no=jnp.array(0))
+    before = state.params.field.hash.tables
+    state2, m = s3_train_step(state, batch, cfg, 1.0, True)
+    assert np.isfinite(float(m["loss"]))
+    assert float(jnp.abs(state2.params.field.hash.tables - before).max()) \
+        > 0.0
+
+
+def test_aggregate_feature_warp():
+    """Temporal feature aggregation (deformation.py get_feature:254-296):
+    enabling the blend changes the deformation, eval semantics are
+    deterministic, and gradients still flow."""
+    from emd_tpu.motion.s3field import apply_s3_field
+
+    params, alive, fcfg = build(jax.random.PRNGKey(4))
+    agg_cfg = fcfg._replace(aggregate_feature=True,
+                            aggregate_time_diff=0.2)
+    g = params.gauss
+    shs = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
+
+    def deform(cfg, key=None):
+        return apply_s3_field(params.field, cfg, g.means, g.log_scales,
+                              g.quats, g.logit_opacities, shs,
+                              params.embeddings, jnp.array(0.5),
+                              jnp.array(0), jnp.array(100), agg_key=key)
+
+    base = deform(fcfg)
+    agg = deform(agg_cfg)
+    # the blend changes the prediction
+    assert float(jnp.abs(agg.means - base.means).max()) > 1e-7
+    # eval (no key) is deterministic
+    agg2 = deform(agg_cfg)
+    assert jnp.array_equal(agg.means, agg2.means)
+    # train mode (keyed noise) differs from eval
+    agg_tr = deform(agg_cfg, key=jax.random.PRNGKey(7))
+    assert float(jnp.abs(agg_tr.means - agg.means).max()) > 1e-8
+    # space/time warp toggles are honored
+    agg_nospace = deform(agg_cfg._replace(aggregate_space_warp=False))
+    assert float(jnp.abs(agg_nospace.means - agg.means).max()) > 1e-8
