@@ -361,6 +361,178 @@ def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
     return jit_step, param_shardings
 
 
+# ----------------------------------------------------------------------------
+# S3-flavor sharded step
+# ----------------------------------------------------------------------------
+
+class ShardedS3Batch(NamedTuple):
+    """S3-flavor camera batch, B = data-axis size."""
+    K: jax.Array          # (B, 3, 3)
+    viewmat: jax.Array    # (B, 4, 4)
+    rgb: jax.Array        # (B, H, W, 3)
+    t: jax.Array          # (B,) normalized time
+    cam_no: jax.Array     # (B,) int32 camera index
+    depth: jax.Array | None = None      # (B, H, W)
+    sky_mask: jax.Array | None = None   # (B, H, W)
+    feat: jax.Array | None = None       # (B, H, W, 3)
+
+
+def make_sharded_s3_loss(mesh: Mesh, cfg, width: int, height: int,
+                         fine_stage: bool, interpret: bool | None = None):
+    """Sharded S3 loss at parity with `s3_train_step` by construction: the
+    local function calls the SAME `render_s3` (with the gauss-axis
+    all_gather hook rejoining the projected soup before binning) and the
+    SAME `s3_loss_terms` suite.
+
+    Sharding layout: the gaussian SoA AND the per-gaussian `_embedding`
+    table shard along "gauss" — the S3 field (hexplane/hash MLPs, small
+    and parameter-dense) and the sky cubemap replicate. The field is
+    *evaluated* on the local shard only, distributing the deformation
+    FLOPs (the dominant per-gaussian cost in the fine stage) over the
+    gauss axis; its AD transpose psums the replicated field gradients.
+
+    The deformation-magnitude regs (dx/ds/do/dshs) are local-shard means,
+    so the total pmeans over BOTH axes — equal shard sizes make the mean
+    of local means the global mean; terms already replicated across
+    "gauss" (image losses, grid regs) are unchanged by it. The KNN
+    embedding reg needs cross-shard neighbors, so the local loss gathers
+    the embedding table (C×E, small next to the projected soup) and
+    feeds it to `s3_loss_terms` via `embeddings_global`.
+
+    Returns loss_fn(params, alive, m2d_off, knn, batch, stepno)
+      -> (total, aux) with params/alive leaves P("gauss") for per-gaussian
+      arrays, P() for field/sky; m2d_off (B, C, 2) P("data") per-camera
+      screen offsets (global capacity C: the offset applies post-gather);
+      batch leaves P("data").
+    """
+    from ..train import losses as L
+    from ..train.s3_trainer import S3Batch, render_s3, s3_loss_terms
+
+    if interpret is None:
+        interpret = default_interpret()
+    cfg = dataclasses_replace_interpret(cfg, interpret)
+
+    def local_loss(params, alive, m2d_off, knn, batch, stepno):
+        cam = Camera(K=batch.K[0], viewmat=batch.viewmat[0],
+                     width=width, height=height)
+        sbatch = S3Batch(
+            camera=cam, rgb=batch.rgb[0], t=batch.t[0],
+            cam_no=batch.cam_no[0],
+            depth=_opt_none(batch.depth, 0),
+            sky_mask=_opt_none(batch.sky_mask, 0),
+            feat=_opt_none(batch.feat, 0))
+
+        def gg(x):
+            return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
+
+        agg_key = (jax.random.fold_in(jax.random.PRNGKey(0), stepno)
+                   if cfg.field.aggregate_feature else None)
+        rgb, out, deform = render_s3(
+            params, alive, cfg, cam, sbatch.t, sbatch.cam_no, stepno,
+            fine_stage, means2d_offset=m2d_off[0], agg_key=agg_key,
+            gauss_gather=gg)
+        emb_global = gg(params.embeddings) if knn is not None else None
+        ld = s3_loss_terms(rgb, out, deform, sbatch, params, knn, cfg,
+                           fine_stage, embeddings_global=emb_global)
+        axes = ("data", "gauss")
+        total = jax.lax.pmean(sum(ld.values()), axes)
+        aux = dict(
+            radii=out.proj.radii[None],                 # (1, C) P("data")
+            psnr=jax.lax.pmean(L.psnr(rgb, sbatch.rgb), "data"),
+            overflow=jax.lax.pmax(
+                out.binning.overflow.astype(jnp.int32), "data"),
+            loss_dict=jax.tree.map(lambda v: jax.lax.pmean(v, axes), ld),
+        )
+        return total, aux
+
+    def specs(params, alive, knn, batch):
+        # per-gaussian leaves on "gauss"; field + sky replicated
+        p_spec = jax.tree.map(lambda _: P(), params)._replace(
+            gauss=jax.tree.map(lambda _: P("gauss"), params.gauss),
+            embeddings=P("gauss"))
+        k_spec = jax.tree.map(lambda _: P(), knn)
+        b_spec = jax.tree.map(lambda _: P("data"), batch)
+        return (p_spec, P("gauss"), P("data"), k_spec, b_spec, P())
+
+    out_specs = (P(), dict(radii=P("data"), psnr=P(), overflow=P(),
+                           loss_dict=P()))
+
+    def wrap(params, alive, m2d_off, knn, batch, stepno):
+        return jax.shard_map(
+            local_loss, mesh=mesh,
+            in_specs=specs(params, alive, knn, batch),
+            out_specs=out_specs,
+            check_vma=False,
+        )(params, alive, m2d_off, knn, batch, stepno)
+
+    return wrap
+
+
+def make_sharded_s3_step(mesh: Mesh, cfg, width: int, height: int,
+                         spatial_scale: float, fine_stage: bool,
+                         interpret: bool | None = None):
+    """Jitted multi-device S3 train step at parity with `s3_train_step`:
+    same render, same loss suite, same per-group Adam LR tree, and
+    densify stats with per-camera screen-grad-norm semantics.
+
+    Returns (jit_step, param_shardings) where
+      jit_step(params, knn, has_depth, has_sky, has_feat)(
+          params, alive, opt, dstate, knn, batch, stepno)
+        -> (params, opt, dstate, metrics).
+    """
+    from ..train.densify import accumulate_stats
+    from ..train.s3_trainer import s3_lr_tree
+
+    loss_fn = make_sharded_s3_loss(mesh, cfg, width, height, fine_stage,
+                                   interpret)
+    n_data = mesh.shape["data"]
+    g_sh = NamedSharding(mesh, P("gauss"))
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def param_shardings(params):
+        return jax.tree.map(lambda _: rep, params)._replace(
+            gauss=jax.tree.map(lambda _: g_sh, params.gauss),
+            embeddings=g_sh)
+
+    def step(params, alive, opt, dstate, knn, batch, stepno):
+        cap = params.gauss.capacity
+        off0 = jnp.zeros((n_data, cap, 2), jnp.float32)
+        (loss, aux), (gparams, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 2), has_aux=True)(
+                params, alive, off0, knn, batch, stepno)
+        lrs = s3_lr_tree(params, cfg, stepno, spatial_scale)
+        new_params, new_opt = adam_update(gparams, opt, params, lrs)
+        # per-camera densify stats: undo the data-pmean's 1/B like the
+        # scene flavor, accumulate as B sequential single-device steps
+        radii = aux["radii"]
+        for b in range(n_data):
+            dstate = accumulate_stats(dstate, goff[b] * float(n_data),
+                                      radii[b], width, height)
+        metrics = dict(loss=loss, psnr=aux["psnr"],
+                       overflow=aux["overflow"], **aux["loss_dict"])
+        return new_params, new_opt, dstate, metrics
+
+    def jit_step(params, knn=None, has_depth=False, has_sky=False,
+                 has_feat=False):
+        psh = param_shardings(params)
+        opt_sh = AdamState(mu=psh, nu=psh, step=rep)
+        k_sh = jax.tree.map(lambda _: rep, knn)
+        batch_proto = ShardedS3Batch(
+            K=0, viewmat=0, rgb=0, t=0, cam_no=0,
+            depth=0 if has_depth else None,
+            sky_mask=0 if has_sky else None,
+            feat=0 if has_feat else None)
+        batch_sh = jax.tree.map(lambda _: data_sh, batch_proto)
+        return jax.jit(
+            step,
+            in_shardings=(psh, g_sh, opt_sh, rep, k_sh, batch_sh, None),
+            out_shardings=(psh, opt_sh, rep, None),
+        )
+
+    return jit_step, param_shardings
+
+
 def sharded_scene_batch_from_source(source, n_data: int):
     """Assemble an n_data-camera ShardedSceneBatch from a BatchSource."""
     cols = {k: [] for k in ("K", "viewmat", "rgb", "frame_idx", "img_idx",

@@ -165,7 +165,8 @@ def s3_lr_tree(params: S3Params, cfg: S3TrainConfig, step,
 def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
               t: jax.Array, cam_no: jax.Array, step: jax.Array,
               fine_stage: bool, means2d_offset=None,
-              render_normals: bool = False, agg_key=None):
+              render_normals: bool = False, agg_key=None,
+              gauss_gather=None):
     """One S3 render; returns (rgb, depth, alpha, raster_out, deform_out).
 
     `render_normals` routes per-gaussian surface normals through the
@@ -218,16 +219,66 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
         from ..core.gaussians import gaussian_normals
         features = gaussian_normals(means, quats, jnp.exp(log_scales),
                                     cam.position)
+    # gauss_gather: SPMD hook (rasterize's bg_gather with every gaussian
+    # on the "gauss" axis) — field/SH/deform run on the LOCAL shard and
+    # the projected soup is gathered before binning
     out = rasterize(means, quats, jnp.exp(log_scales), opac, colors, cam,
                     budget=cfg.budget, antialiased=cfg.antialiased,
                     means2d_offset=means2d_offset, features=features,
-                    interpret=cfg.interpret)
+                    interpret=cfg.interpret, bg_gather=gauss_gather,
+                    bg_count=means.shape[0])
     rgb = out.rgb
     sky_rgb = None
     if params.sky is not None:
         sky_rgb = sky_pixels(params.sky, cam, factor=cfg.sky_factor)
         rgb = composite_sky(rgb, out.alpha, sky_rgb)
     return rgb, out, deform
+
+
+def s3_loss_terms(rgb, out, deform, batch: S3Batch, params: S3Params,
+                  knn, cfg: S3TrainConfig, fine_stage: bool,
+                  embeddings_global=None) -> dict:
+    """The full S3 loss suite (S3Gaussian/train.py:226-363) as a dict of
+    weighted terms. Shared verbatim by the single-device `s3_train_step`
+    and the sharded step in `dist.train_sharded` — parity by construction.
+
+    `embeddings_global`: the full (C, E) embedding table for the KNN reg;
+    defaults to `params.embeddings` (single device). The sharded caller
+    passes the all-gathered table because KNN neighbors cross shards."""
+    ld = {}
+    ld["rgb"] = cfg.w_rgb * losses.l1(rgb, batch.rgb)
+    ld["ssim"] = cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb)
+    if cfg.w_depth > 0 and batch.depth is not None:
+        # expected depth (accumulated/alpha), matching diff_gauss's
+        # normalized depth output the reference supervises against
+        ld["depth"] = cfg.w_depth * losses.depth_loss(
+            out.depth / jnp.maximum(out.alpha, 1e-3),
+            batch.depth, batch.depth > 0, kind="l2")
+    if cfg.w_sky > 0 and batch.sky_mask is not None:
+        ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
+            out.alpha, batch.sky_mask)
+    if cfg.w_entropy > 0:
+        ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
+    if (cfg.w_feat > 0 and batch.feat is not None and fine_stage
+            and deform is not None and deform.feat is not None):
+        ld["feat"] = cfg.w_feat * losses.l1(out.feat, batch.feat)
+    if fine_stage and deform is not None:
+        ld["dx"] = cfg.w_dx * jnp.mean(jnp.abs(deform.dx_total))
+        ld["ds"] = cfg.w_ds * jnp.mean(jnp.abs(deform.scales_delta))
+        ld["do"] = cfg.w_do * jnp.mean(jnp.abs(deform.opacity_delta))
+        ld["dshs"] = cfg.w_dshs * jnp.mean(jnp.abs(deform.shs_delta))
+        hp = params.field.hexplane
+        if hp is not None:      # grid regs are hexplane-specific
+            ld["plane_tv"] = cfg.w_plane_tv * plane_tv_loss(hp)
+            ld["time_smooth"] = cfg.w_time_smooth * \
+                time_smoothness_loss(hp)
+            ld["time_l1"] = cfg.w_time_l1 * time_l1_loss(hp)
+    if knn is not None:
+        idx, w = knn
+        emb = (embeddings_global if embeddings_global is not None
+               else params.embeddings)
+        ld["emb_knn"] = cfg.w_emb_knn * embedding_knn_loss(emb, idx, w)
+    return ld
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spatial_scale",
@@ -241,38 +292,8 @@ def s3_train_step(state: S3TrainState, batch: S3Batch, cfg: S3TrainConfig,
         rgb, out, deform = render_s3(params, state.alive, cfg, batch.camera,
                                      batch.t, batch.cam_no, state.step,
                                      fine_stage, m2d_off, agg_key=agg_key)
-        ld = {}
-        ld["rgb"] = cfg.w_rgb * losses.l1(rgb, batch.rgb)
-        ld["ssim"] = cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb)
-        if cfg.w_depth > 0 and batch.depth is not None:
-            # expected depth (accumulated/alpha), matching diff_gauss's
-            # normalized depth output the reference supervises against
-            ld["depth"] = cfg.w_depth * losses.depth_loss(
-                out.depth / jnp.maximum(out.alpha, 1e-3),
-                batch.depth, batch.depth > 0, kind="l2")
-        if cfg.w_sky > 0 and batch.sky_mask is not None:
-            ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
-                out.alpha, batch.sky_mask)
-        if cfg.w_entropy > 0:
-            ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)
-        if (cfg.w_feat > 0 and batch.feat is not None and fine_stage
-                and deform is not None and deform.feat is not None):
-            ld["feat"] = cfg.w_feat * losses.l1(out.feat, batch.feat)
-        if fine_stage and deform is not None:
-            ld["dx"] = cfg.w_dx * jnp.mean(jnp.abs(deform.dx_total))
-            ld["ds"] = cfg.w_ds * jnp.mean(jnp.abs(deform.scales_delta))
-            ld["do"] = cfg.w_do * jnp.mean(jnp.abs(deform.opacity_delta))
-            ld["dshs"] = cfg.w_dshs * jnp.mean(jnp.abs(deform.shs_delta))
-            hp = params.field.hexplane
-            if hp is not None:      # grid regs are hexplane-specific
-                ld["plane_tv"] = cfg.w_plane_tv * plane_tv_loss(hp)
-                ld["time_smooth"] = cfg.w_time_smooth * \
-                    time_smoothness_loss(hp)
-                ld["time_l1"] = cfg.w_time_l1 * time_l1_loss(hp)
-        if state.knn is not None:
-            idx, w = state.knn
-            ld["emb_knn"] = cfg.w_emb_knn * embedding_knn_loss(
-                params.embeddings, idx, w)
+        ld = s3_loss_terms(rgb, out, deform, batch, params, state.knn,
+                           cfg, fine_stage)
         total = sum(ld.values())
         return total, dict(loss_dict=ld, psnr=losses.psnr(rgb, batch.rgb),
                            radii=out.proj.radii,

@@ -218,6 +218,140 @@ def test_sharded_scene_graph_loss_and_grads(stepno):
         assert float(jnp.nansum(jnp.abs(gparams.background.sh_rest))) > 0
 
 
+@pytest.mark.parametrize("fine_stage", [False, True])
+def test_sharded_s3_loss_and_grads(fine_stage):
+    """S3-flavor sharded step vs single-device (VERDICT r3 missing #6):
+    same render_s3 + s3_loss_terms through shard_map — gaussians AND the
+    per-gaussian embedding table on "gauss", field/sky replicated — must
+    reproduce the single-device loss and gradients, in BOTH stages (the
+    fine stage exercises the hexplane field on the local shard, the
+    deformation regs' cross-gauss pmean, and the gathered-embedding KNN
+    reg)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_s3_trainer import build, cam, H, W
+
+    from emd_tpu.dist import ShardedS3Batch, make_mesh, make_sharded_s3_loss
+    from emd_tpu.motion.embedding_reg import knn_graph
+    from emd_tpu.train import S3Batch, S3TrainConfig
+    from emd_tpu.train.s3_trainer import render_s3, s3_loss_terms
+
+    params, alive, fcfg = build(jax.random.PRNGKey(3))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True,
+                        w_depth=0.0)
+    n_data, n_gauss = 4, 2
+    mesh = make_mesh(n_data=n_data, n_gauss=n_gauss)
+    c = cam()
+    idx, w = knn_graph(np.asarray(params.gauss.means),
+                       np.asarray(alive), k=4)
+    knn = (jnp.asarray(idx), jnp.asarray(w))
+    k = jax.random.PRNGKey(7)
+    batch = ShardedS3Batch(
+        K=jnp.tile(c.K, (n_data, 1, 1)),
+        viewmat=jnp.tile(c.viewmat, (n_data, 1, 1)),
+        rgb=jax.random.uniform(k, (n_data, H, W, 3)),
+        t=jnp.linspace(0.0, 1.0, n_data),
+        cam_no=jnp.arange(n_data, dtype=jnp.int32) % 3,
+        sky_mask=(jax.random.uniform(k, (n_data, H, W)) > 0.7
+                  ).astype(jnp.float32))
+
+    loss_fn = make_sharded_s3_loss(mesh, cfg, W, H, fine_stage,
+                                   interpret=True)
+    cap = params.gauss.capacity
+    off0 = jnp.zeros((n_data, cap, 2), jnp.float32)
+    sno = jnp.asarray(100, jnp.int32)
+
+    def fn(p, off):
+        return loss_fn(p, alive, off, knn, batch, sno)
+
+    (val, aux_out), (gp, goff) = jax.jit(
+        jax.value_and_grad(fn, argnums=(0, 1), has_aux=True))(params, off0)
+
+    def single(p, offs):
+        vals = []
+        for i in range(n_data):
+            sb = S3Batch(camera=c, rgb=batch.rgb[i], t=batch.t[i],
+                         cam_no=batch.cam_no[i], sky_mask=batch.sky_mask[i])
+            rgb, out, deform = render_s3(p, alive, cfg, c, sb.t, sb.cam_no,
+                                         sno, fine_stage,
+                                         means2d_offset=offs[i])
+            ld = s3_loss_terms(rgb, out, deform, sb, p, knn, cfg,
+                               fine_stage)
+            vals.append(sum(ld.values()))
+        return jnp.mean(jnp.stack(vals))
+
+    v0, (g0, goff0) = jax.value_and_grad(
+        single, argnums=(0, 1))(params, off0)
+    np.testing.assert_allclose(float(val), float(v0), rtol=2e-4)
+    for name in ("gauss", "embeddings", "field", "sky"):
+        a, b = getattr(g0, name), getattr(gp, name)
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            scale = np.maximum(np.nanmax(np.abs(np.asarray(la))), 1e-4)
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(la), atol=1e-3 * scale,
+                rtol=2e-3, err_msg=f"s3-sharded grad mismatch: {name}")
+    scale = np.maximum(np.nanmax(np.abs(np.asarray(goff0))), 1e-6)
+    np.testing.assert_allclose(np.asarray(goff), np.asarray(goff0),
+                               atol=1e-3 * scale, rtol=2e-3)
+    assert aux_out["radii"].shape == (n_data, cap)
+
+
+def test_sharded_s3_training_converges():
+    """Multi-device S3 TRAINING: the sharded step + per-group Adam +
+    densify stats drive the loss down on the virtual mesh (fine stage,
+    field active)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_s3_trainer import build, cam, H, W
+
+    from emd_tpu.dist import ShardedS3Batch, make_mesh
+    from emd_tpu.dist.train_sharded import make_sharded_s3_step
+    from emd_tpu.train import S3TrainConfig
+    from emd_tpu.train.densify import DensifyState
+    from emd_tpu.train.optim import adam_init, strong_types
+    from emd_tpu.train.s3_trainer import render_s3
+
+    truth, alive, fcfg = build(jax.random.PRNGKey(5))
+    cfg = S3TrainConfig(field=fcfg, budget=1 << 13, interpret=True,
+                        w_depth=0.0, w_sky=0.0, lr_means=2e-3)
+    n_data, n_gauss = 4, 2
+    mesh = make_mesh(n_data=n_data, n_gauss=n_gauss)
+    c = cam()
+    targets = []
+    for i in range(n_data):
+        rgb, _, _ = render_s3(truth, alive, cfg, c,
+                              jnp.array(i / 3.0), jnp.array(0),
+                              jnp.array(0), False)
+        targets.append(rgb)
+    batch = ShardedS3Batch(
+        K=jnp.tile(c.K, (n_data, 1, 1)),
+        viewmat=jnp.tile(c.viewmat, (n_data, 1, 1)),
+        rgb=jnp.stack(targets),
+        t=jnp.arange(n_data) / 3.0,
+        cam_no=jnp.zeros((n_data,), jnp.int32))
+
+    params = strong_types(truth._replace(gauss=truth.gauss._replace(
+        means=truth.gauss.means
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(6),
+                                   truth.gauss.means.shape))))
+    jit_step, _ = make_sharded_s3_step(mesh, cfg, W, H, spatial_scale=2.0,
+                                       fine_stage=True, interpret=True)
+    step = jit_step(params)
+    opt = adam_init(params)
+    dstate = DensifyState.create(params.gauss.capacity)
+    first = None
+    for i in range(10):
+        params, opt, dstate, m = step(params, alive, opt, dstate, None,
+                                      batch, jnp.asarray(i, jnp.int32))
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.9, f"s3 sharded no progress: {first} -> {last}"
+    assert float(dstate.grad_accum.max()) > 0
+    assert int(dstate.count.max()) > 0
+
+
 def test_sharded_loop_with_smpl_refines_all_classes(tmp_path):
     """The sharded LOOP at parity with the single-device one (VERDICT r2
     weak #3): a scene WITH an SMPL pedestrian trains on the virtual mesh
