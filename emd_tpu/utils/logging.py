@@ -53,12 +53,22 @@ class SmoothedValue:
 
 
 class MetricLogger:
-    def __init__(self, out_dir: str | None = None, window: int = 20):
+    """`tb=True` (default when out_dir is set) mirrors every dump into a
+    TensorBoard event file under out_dir/tb — the reference logs each
+    train iter to TB (S3Gaussian/train.py:370-398); utils/tbwriter.py is
+    the dependency-free sink."""
+
+    def __init__(self, out_dir: str | None = None, window: int = 20,
+                 tb: bool = True):
         self.meters = collections.defaultdict(lambda: SmoothedValue(window))
         self.json_path = (os.path.join(out_dir, "metrics.jsonl")
                           if out_dir else None)
+        self.tb = None
         if self.json_path:
             os.makedirs(out_dir, exist_ok=True)
+            if tb:
+                from .tbwriter import TBWriter
+                self.tb = TBWriter(os.path.join(out_dir, "tb"))
         self._t0 = time.time()
         self._last = self._t0
 
@@ -73,6 +83,10 @@ class MetricLogger:
         row.update({k: m.avg for k, m in self.meters.items()})
         with open(self.json_path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars(
+                {f"train/{k}": m.avg for k, m in self.meters.items()}, step)
+            self.tb.flush()
 
     def line(self, step: int, total: int) -> str:
         now = time.time()
