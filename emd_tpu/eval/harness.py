@@ -76,15 +76,28 @@ def aggregate(metrics: list[dict[str, float]]) -> dict[str, float]:
 
 def do_evaluation(params, aux, cfg, source: BatchSource, out_dir: str,
                   lpips_net: Lpips | None = None, step: int = 10 ** 9,
-                  save_images: bool = True) -> dict[str, Any]:
+                  save_images: bool = True,
+                  oracle_poses: bool = False) -> dict[str, Any]:
     """Full evaluation: test split (pose-interpolated) + train sample;
-    writes metrics json + comparison images (tools/eval.py:34-183)."""
+    writes metrics json + comparison images (tools/eval.py:34-183).
+
+    `oracle_poses=True` adds a "test_oracle" row rendering the SAME test
+    frames with in_test_set=False — instance poses read at the test frame
+    itself (held-out poses stay at their annotation-track init, never
+    trained) instead of neighbour interpolation. The gap between "test"
+    and "test_oracle" isolates the pose-interpolation protocol's
+    contribution to held-out error from actual appearance/motion overfit."""
     os.makedirs(out_dir, exist_ok=True)
     results = {}
     test_m, test_r = render_split(params, aux, cfg, source,
                                   source.test_frames, True, lpips_net,
                                   step=step)
     results["test"] = aggregate(test_m)
+    if oracle_poses:
+        oracle_m, _ = render_split(params, aux, cfg, source,
+                                   source.test_frames, False, lpips_net,
+                                   step=step)
+        results["test_oracle"] = aggregate(oracle_m)
     train_sample = source.train_frames[:max(1, len(source.train_frames)
                                             // 4)]
     train_m, _ = render_split(params, aux, cfg, source, train_sample,

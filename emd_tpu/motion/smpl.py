@@ -311,6 +311,9 @@ def _smpl_joint_offsets(params: SmplParams, aux: SmplAux, alive, t_norm,
     (embedding_track_smpl_offset, smpl.py:401-436)."""
     rcfg = cfg.rigid
     n_inst = aux.rigid.instances_size.shape[0]
+    if rcfg.no_apply_embed_track:   # EMD ablation switch (omnire.yaml ctrl)
+        return jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0]),
+                                (n_inst, N_JOINTS, 4))
     mean_emb = _mean_embedding_per_instance(
         params.rigid.embeddings, aux.rigid.point_ids, alive, n_inst)
     n_fine = c2f_num_embeddings(step, rcfg.min_embeddings,
@@ -322,7 +325,13 @@ def _smpl_joint_offsets(params: SmplParams, aux: SmplAux, alive, t_norm,
     h_c = jnp.concatenate([emb_c, mean_emb], axis=-1)
     h_f = jnp.concatenate([emb_f, mean_emb], axis=-1)
     hd = params.smpl_heads
-    yaw = (h_c @ hd.rot_c_w + hd.rot_c_b) + (h_f @ hd.rot_f_w + hd.rot_f_b)
+    yaw_c = h_c @ hd.rot_c_w + hd.rot_c_b
+    yaw_f = h_f @ hd.rot_f_w + hd.rot_f_b
+    if rcfg.no_coarse_deform:       # ablation switches, like rigid's
+        yaw_c = jnp.zeros_like(yaw_c)
+    if rcfg.no_fine_deform:
+        yaw_f = jnp.zeros_like(yaw_f)
+    yaw = yaw_c + yaw_f
     yaw = jnp.where(jnp.isfinite(yaw), yaw, 0.0)           # NaN tolerance
     half = 0.5 * yaw                                        # (I, 24)
     zero = jnp.zeros_like(half)
@@ -340,6 +349,19 @@ def smpl_world_gaussians(params: SmplParams, aux: SmplAux, alive,
     pid = aux.rigid.point_ids
 
     body = quat_normalize(params.smpl_quats[frame])          # (I, 24, 4)
+    if in_test_set:
+        # test frames interpolate the BODY pose from temporal neighbours
+        # exactly like the root (the reference slerps the concatenated
+        # [root | smpl] theta, smpl.py transform_means:345-356)
+        from ..core.quat import quat_slerp
+        fp = jnp.clip(frame - 1, 0, num_frames - 1)
+        fn = jnp.clip(frame + 1, 0, num_frames - 1)
+        can = (frame - 1 > 0) & (frame + 1 < num_frames)
+        b_int = quat_slerp(quat_normalize(params.smpl_quats[fp]),
+                           quat_normalize(params.smpl_quats[fn]), 0.5)
+        valid = (aux.rigid.instances_fv[fp] & aux.rigid.instances_fv[fn]
+                 & can)
+        body = jnp.where(valid[:, None, None], b_int, body)
     joint_off = _smpl_joint_offsets(params, aux, alive, t_norm, step, cfg)
     body = quat_multiply(body, joint_off)
 

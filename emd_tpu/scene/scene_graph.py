@@ -29,6 +29,7 @@ from ..motion.deformable import (
     deformable_world_gaussians,
 )
 from ..motion.pvg import PvgConfig
+from ..motion.smpl import SmplConfig
 from ..motion.rigid import RigidAux, RigidConfig, RigidParams, \
     rigid_world_gaussians
 from ..raster.rasterize import RasterOut, rasterize
@@ -85,6 +86,7 @@ class SceneAux(NamedTuple):
 class SceneConfig:
     rigid: RigidConfig = RigidConfig()
     deformable: DeformableConfig = DeformableConfig()
+    smpl: SmplConfig = SmplConfig()
     budget: int = 1 << 20
     antialiased: bool = False
     interpret: bool | None = None
@@ -205,7 +207,8 @@ def collect_gaussians(
         from ..motion.smpl import smpl_world_gaussians
         sp = params.smpl
         wm, wq, vis = smpl_world_gaussians(sp, aux.smpl_aux, aux.smpl_alive,
-                                           frame, step)
+                                           frame, step, cfg.smpl,
+                                           in_test_set)
         g = sp.rigid.gauss
         push(wm, wq, g.log_scales, g.sh_dc, g.sh_rest, g.logit_opacities,
              vis, "SMPLNodes")

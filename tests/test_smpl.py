@@ -105,6 +105,44 @@ def test_smpl_posed_moves_arm_gaussians():
     assert float(joint_smoothness_reg(params)) > 0.0
 
 
+def test_smpl_test_frame_body_pose_interpolation():
+    """Test frames slerp the BODY pose from temporal neighbours exactly
+    like the root (reference smpl.py transform_means:345-356): the render
+    at frame f with in_test_set=True must equal the render of a model
+    whose frame-f body pose is the f+-1 slerp midpoint."""
+    from emd_tpu.core.quat import quat_slerp
+
+    params, aux, alive, tmpl, pts = _make_smpl(jax.random.PRNGKey(0))
+    # distinct neighbour poses around frame 2: shoulder yaw +-30deg
+    a = jnp.array([np.cos(0.26), 0.0, 0.0, np.sin(0.26)], jnp.float32)
+    b = jnp.array([np.cos(-0.26), 0.0, 0.0, np.sin(-0.26)], jnp.float32)
+    body = params.smpl_quats
+    body = body.at[1, 0, 16].set(a).at[3, 0, 16].set(b)
+    # frame 2 itself gets a WILD pose the interpolation must ignore
+    body = body.at[2, 0, 16].set(jnp.array([0.0, 1.0, 0.0, 0.0]))
+    params = params._replace(smpl_quats=body)
+
+    wm_test, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(2),
+                                         jnp.array(0), in_test_set=True)
+    mid = quat_slerp(body[1], body[3], 0.5)
+    params_mid = params._replace(smpl_quats=body.at[2].set(mid))
+    wm_mid, _, _ = smpl_world_gaussians(params_mid, aux, alive,
+                                        jnp.array(2), jnp.array(0))
+    np.testing.assert_allclose(np.asarray(wm_test), np.asarray(wm_mid),
+                               atol=1e-5)
+    # the wild frame-2 pose WOULD have moved the arm (sanity)
+    wm_raw, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(2),
+                                        jnp.array(0))
+    assert float(np.abs(np.asarray(wm_raw - wm_test)).max()) > 0.05
+    # boundary frames (no two valid neighbours) fall back to the raw pose
+    wm_t0, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(0),
+                                       jnp.array(0), in_test_set=True)
+    wm_r0, _, _ = smpl_world_gaussians(params, aux, alive, jnp.array(0),
+                                       jnp.array(0))
+    np.testing.assert_allclose(np.asarray(wm_t0), np.asarray(wm_r0),
+                               atol=1e-6)
+
+
 def test_smpl_emd_head_offsets():
     params, aux, alive, tmpl, pts = _make_smpl(jax.random.PRNGKey(0))
     heads = params.smpl_heads._replace(

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--n_bg", type=int, default=200_000)
     ap.add_argument("--n_veh", type=int, default=20_000)
+    ap.add_argument("--n_ped", type=int, default=4000)
+    ap.add_argument("--mode", choices=("vehicle", "smpl"),
+                    default="vehicle",
+                    help="vehicle: wobbled rigid track (EMD rigid heads); "
+                         "smpl: wobbled pedestrian body joints (per-joint "
+                         "EMD yaw heads, reference smpl.py:401-436)")
     ap.add_argument("--budget", type=int, default=1 << 20)
     ap.add_argument("--out", default="out/emd_ablation")
     ap.add_argument("--json_out", default="docs/emd_ablation_r03_metrics.json")
@@ -51,27 +57,32 @@ def main():
     from emd_tpu.data.batches import BatchSource
     from emd_tpu.eval.harness import do_evaluation
     from emd_tpu.motion.rigid import RigidConfig
+    from emd_tpu.motion.smpl import SmplConfig
     from emd_tpu.scene.scene_graph import SceneConfig
     from emd_tpu.train.loop import LoopConfig, fit_scene
     from emd_tpu.train.scene_trainer import SceneTrainConfig
 
     t0 = time.time()
+    smpl_mode = args.mode == "smpl"
     params, aux, meta = build_gt_scene(
         n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
-        width=args.width, height=args.height, wobble=True)
+        width=args.width, height=args.height, wobble=not smpl_mode,
+        n_ped=args.n_ped if smpl_mode else 0, wobble_ped=smpl_mode)
     print("rendering wobbled GT ...", flush=True)
     images, sky_masks, veh_masks, hum_masks, cyc_masks = render_gt(
         params, aux, meta, args.budget)
     print(f"GT rendered in {time.time() - t0:.0f}s "
-          f"(veh px {veh_masks.mean():.4f})", flush=True)
+          f"(veh px {veh_masks.mean():.4f}, hum px {hum_masks.mean():.4f})",
+          flush=True)
     scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
                           hum_masks, cyc_masks)
 
     def run(tag: str, rigid_cfg: RigidConfig):
         out_dir = os.path.join(args.out, tag)
         os.makedirs(out_dir, exist_ok=True)
-        cfg = SceneTrainConfig(scene=SceneConfig(budget=args.budget,
-                                                 rigid=rigid_cfg))
+        cfg = SceneTrainConfig(scene=SceneConfig(
+            budget=args.budget, rigid=rigid_cfg,
+            smpl=SmplConfig(rigid=rigid_cfg)))
         loop = LoopConfig(
             max_steps=args.steps, refine_start=500, refine_interval=400,
             refine_stop=args.steps * 3 // 4,
@@ -86,7 +97,8 @@ def main():
                             out_dir, step=args.steps)
         res["wall_s"] = round(time.time() - t1, 1)
         print(f"[{tag}] test {res['test'].get('psnr'):.2f} dB, vehicle "
-              f"{res['test'].get('vehicle_psnr', float('nan')):.2f} dB",
+              f"{res['test'].get('vehicle_psnr', float('nan')):.2f} dB, "
+              f"human {res['test'].get('human_psnr', float('nan')):.2f} dB",
               flush=True)
         return res
 
@@ -98,18 +110,22 @@ def main():
         b = res_off["test"].get(key)
         return None if a is None or b is None else round(a - b, 3)
 
+    gate_key = "human_psnr" if smpl_mode else "vehicle_psnr"
     report = {
-        "gate": "emd_ablation",
+        "gate": f"emd_ablation_{args.mode}",
         "steps": args.steps,
         "scene": dict(frames=args.frames, n_bg=args.n_bg,
-                      n_veh=args.n_veh, wobble=True,
+                      n_veh=args.n_veh, wobble=not smpl_mode,
+                      n_ped=args.n_ped if smpl_mode else 0,
+                      wobble_ped=smpl_mode,
                       width=args.width, height=args.height),
         "emd_on": res_on,
         "emd_off": res_off,
         "delta_test_psnr": d("psnr"),
         "delta_test_vehicle_psnr": d("vehicle_psnr"),
+        "delta_test_human_psnr": d("human_psnr"),
         "delta_test_dynamic_psnr": d("dynamic_psnr"),
-        "pass": (d("vehicle_psnr") or 0) > 0,
+        "pass": (d(gate_key) or 0) > 0,
         "wall_s": round(time.time() - t0, 1),
     }
     os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
@@ -117,7 +133,7 @@ def main():
         json.dump(report, f, indent=2, default=float)
     print(json.dumps({k: report[k] for k in
                       ("delta_test_psnr", "delta_test_vehicle_psnr",
-                       "pass", "wall_s")}))
+                       "delta_test_human_psnr", "pass", "wall_s")}))
 
 
 if __name__ == "__main__":

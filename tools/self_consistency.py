@@ -37,7 +37,7 @@ def _rot_z(a):
 
 def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
                    width=480, height=320, seed=0, wobble=False,
-                   n_ped=0, n_cyc=0):
+                   n_ped=0, n_cyc=0, wobble_ped=False):
     """Known SceneParams + cameras + instance track for the GT render.
 
     `wobble=True` adds a non-box-constant residual motion to the TRUE
@@ -46,7 +46,14 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
     stays the smooth nominal one (a box detector would not capture the
     wobble either). The EMD temporal heads can absorb the residual; the
     raw track cannot — the basis of the EMD-on/off ablation mirroring
-    the reference's headline claim (/root/reference/index.html:708)."""
+    the reference's headline claim (/root/reference/index.html:708).
+
+    `wobble_ped=True` is the SMPL analogue: the TRUE pedestrian body
+    poses gain per-joint z-yaw residual sinusoids (pelvis/hips/
+    shoulders) the smooth annotation walk cycle (`ped_body_ann`) lacks —
+    exactly the subspace the per-joint EMD yaw heads
+    (motion/smpl.py _smpl_joint_offsets, reference smpl.py:401-436)
+    can absorb."""
     from emd_tpu.core import random_quats, rgb_to_sh0
     from emd_tpu.motion.rigid import RigidConfig, create_rigid
     from emd_tpu.scene import (SceneAux, SceneParams, empty_params)
@@ -135,7 +142,7 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
     # swinging with the stride (the reference's SMPLNodes GT protocol —
     # masked human PSNR, OmniRe/models/video_utils.py:72-82)
     smpl = smpl_aux = smpl_alive = None
-    ped_track = ped_body = None
+    ped_track = ped_body = ped_body_ann = None
     if n_ped > 0:
         from emd_tpu.core.quat import rotmat_to_quat
         from emd_tpu.motion.smpl import (N_JOINTS, SmplConfig, create_smpl,
@@ -169,6 +176,24 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
                                      (5, 0.25, 3 * np.pi / 2)):
                 a = amp * np.sin(ph + phase)
                 body[f, 0, jidx] = [np.cos(a / 2), 0, np.sin(a / 2), 0]
+        body_ann = body.copy()
+        if wobble_ped:
+            # z-yaw residuals the annotation cycle lacks: right-multiplied
+            # (the EMD joint-off composition order in smpl_world_gaussians),
+            # incommensurate period vs the 4-frame stride
+            for f in range(n_frames):
+                ph = 2 * np.pi * f / 3.7
+                for jidx, amp, phase in ((0, 0.12, 0.0), (1, 0.2, 0.9),
+                                         (2, 0.2, 2.3), (16, 0.22, 1.6),
+                                         (17, 0.22, 4.1)):
+                    a = amp * np.sin(ph + phase)
+                    w1, x1, y1, z1 = body_ann[f, 0, jidx]
+                    cw, sz = np.cos(a / 2), np.sin(a / 2)
+                    # (w1,x1,y1,z1) * (cw,0,0,sz)
+                    body[f, 0, jidx] = [w1 * cw - z1 * sz,
+                                        x1 * cw + y1 * sz,
+                                        y1 * cw - x1 * sz,
+                                        z1 * cw + w1 * sz]
         ped_q = np.asarray(rotmat_to_quat(
             jnp.asarray(ped_track[:, :3, :3])))[:, None]
         ped_t = ped_track[:, None, :3, 3]
@@ -180,6 +205,7 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
             jnp.asarray(body), SmplConfig())
         smpl_alive = jnp.ones((n_ped,), bool)
         ped_body = body
+        ped_body_ann = body_ann
 
     # --- cyclist: rigid track + a KNOWN smooth conditional deformation
     # (the DeformableNodes GT protocol)
@@ -275,6 +301,7 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
                 cam_to_worlds=cam_to_worlds.astype(np.float32),
                 veh_poses=poses, veh_poses_ann=poses_ann, veh_size=size,
                 ped_poses=ped_track, ped_body=ped_body,
+                ped_body_ann=ped_body_ann,
                 cyc_poses=cyc_track,
                 width=width, height=height,
                 n_frames=n_frames, n_cams=n_cams)
@@ -401,7 +428,10 @@ def to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
         iid="0", class_name="vehicle", size=meta["veh_size"],
         poses=meta["veh_poses_ann"], frame_valid=np.ones(F, bool))]
     if meta.get("ped_poses") is not None:
-        body = meta["ped_body"][:, 0]                # (F, 24, 4)
+        # the student sees the ANNOTATION body cycle, not the true
+        # (possibly wobbled) one — like 4D-Humans output would provide
+        ann = meta.get("ped_body_ann")
+        body = (ann if ann is not None else meta["ped_body"])[:, 0]
         instances.append(InstanceAnn(
             iid="1", class_name="pedestrian",
             size=np.array([0.9, 0.6, 1.9], np.float32),
@@ -438,6 +468,8 @@ def main():
                     help="cond-deform cyclist gaussians (0 disables)")
     ap.add_argument("--budget", type=int, default=1 << 20)
     ap.add_argument("--out", default="out/self_consistency")
+    ap.add_argument("--json_out",
+                    default="docs/self_consistency_r04_metrics.json")
     ap.add_argument("--test_stride", type=int, default=8)
     args = ap.parse_args()
 
@@ -475,19 +507,39 @@ def main():
 
     from emd_tpu.data.batches import BatchSource
     src = BatchSource(scene, test_stride=args.test_stride)
+    # oracle_poses adds a "test_oracle" row: the same held-out frames
+    # rendered at the test frame's OWN (annotation-init, never-trained)
+    # pose instead of the neighbour interpolation the protocol mandates —
+    # the test/test_oracle gap isolates the pose-interpolation protocol
+    # ceiling from actual appearance/motion overfit (VERDICT r3 weak #3)
     res = do_evaluation(state.params, state.aux, cfg.scene, src, args.out,
-                        step=args.steps)
-    print(json.dumps({"gate": "self_consistency",
-                      "test_psnr": res.get("test", {}).get("psnr"),
-                      "train_psnr": res.get("train", {}).get("psnr"),
-                      "test_human_psnr":
-                          res.get("test", {}).get("human_psnr"),
-                      "test_dynamic_psnr":
-                          res.get("test", {}).get("dynamic_psnr"),
-                      "test_vehicle_psnr":
-                          res.get("test", {}).get("vehicle_psnr"),
-                      "steps": args.steps,
-                      "wall_s": round(time.time() - t0, 1)}))
+                        step=args.steps, oracle_poses=True)
+    report = {"gate": "self_consistency",
+              "test_psnr": res.get("test", {}).get("psnr"),
+              "train_psnr": res.get("train", {}).get("psnr"),
+              "test_human_psnr":
+                  res.get("test", {}).get("human_psnr"),
+              "test_dynamic_psnr":
+                  res.get("test", {}).get("dynamic_psnr"),
+              "test_vehicle_psnr":
+                  res.get("test", {}).get("vehicle_psnr"),
+              "oracle_pose_human_psnr":
+                  res.get("test_oracle", {}).get("human_psnr"),
+              "oracle_pose_dynamic_psnr":
+                  res.get("test_oracle", {}).get("dynamic_psnr"),
+              "oracle_pose_vehicle_psnr":
+                  res.get("test_oracle", {}).get("vehicle_psnr"),
+              "oracle_pose_psnr":
+                  res.get("test_oracle", {}).get("psnr"),
+              "full_table": res,
+              "steps": args.steps,
+              "wall_s": round(time.time() - t0, 1)}
+    if args.json_out:
+        os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "full_table"}))
 
 
 if __name__ == "__main__":
