@@ -133,10 +133,19 @@ def _alpha_terms(data, px, py, with_feat):
                 feat=data[:, 10:13] if with_feat else None)
 
 
+# Sub-scan group length: the Hillis-Steele scans run on (GROUP, NPX)
+# slices (log2(GROUP) steps each) with O(chunk/GROUP) cross-group prefix
+# fix-ups, instead of log2(chunk) steps over the full chunk. The groups
+# are CONTIGUOUS 8-aligned sublane slices — unlike the measured
+# sublane-STRIDED two-level variant (BENCH_NOTES dead ends), slicing
+# costs nothing. 128 = single-level (the round-3 behavior).
+SCAN_GROUP = int(__import__("os").environ.get("EMD_TPU_SCAN_GROUP", "32"))
+
+
 def _scan_masks(shape, length):
     """Loop-invariant Hillis-Steele step masks (row >= shift per step),
     hoisted out of the per-chunk loop — the compare was otherwise paid
-    per (instance, pixel) per step."""
+    per (instance, pixel) per step. `shape` is the GROUP slice shape."""
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     masks = []
     shift = 1
@@ -146,12 +155,10 @@ def _scan_masks(shape, length):
     return masks
 
 
-def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
-    """Inclusive prefix sum along axis 0 via Hillis-Steele shifted adds.
-    (Both a two-level grouped variant and a strict-upper MXU matmul were
-    measured SLOWER on a v5e chip — see BENCH_NOTES.)"""
-    if masks is None:
-        masks = _scan_masks(x.shape, length)
+def _inclusive_scan0_flat(x: jax.Array, length: int, masks) -> jax.Array:
+    """Single-level inclusive prefix sum along axis 0 via Hillis-Steele
+    shifted adds. (A strict-upper MXU matmul was measured SLOWER on a
+    v5e chip — see BENCH_NOTES.)"""
     s = x
     shift = 1
     i = 0
@@ -161,6 +168,27 @@ def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
         shift *= 2
         i += 1
     return s
+
+
+def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
+    """Inclusive prefix sum along axis 0, grouped: log2(GROUP)-step
+    Hillis-Steele per contiguous (GROUP, NPX) slice + a running (1, NPX)
+    carry added into each later group — fewer shifted-add passes over
+    the full chunk than a single-level scan (7 -> 5 + fix-ups at
+    GROUP=32 for chunk 128). `masks` are the (GROUP, NPX) step masks."""
+    g = min(SCAN_GROUP, length)
+    if masks is None:
+        masks = _scan_masks((g,) + x.shape[1:], g)
+    if g >= length:
+        return _inclusive_scan0_flat(x, length, masks)
+    parts = []
+    carry = None                                   # (1, NPX) sum so far
+    for k in range(0, length, g):
+        blk = _inclusive_scan0_flat(x[k:k + g], g, masks)
+        parts.append(blk if carry is None else blk + carry)
+        tot = parts[-1][g - 1:g]
+        carry = tot
+    return jnp.concatenate(parts, axis=0)
 
 
 # Per-chunk transmittance floor: a chunk whose (1-alpha) product falls
@@ -179,16 +207,9 @@ def _inclusive_scan0(x: jax.Array, length: int, masks=None) -> jax.Array:
 PROD_FLOOR = 1e-30
 
 
-def _exclusive_prod0(om: jax.Array, length: int, masks=None) -> jax.Array:
-    """Exclusive prefix product along axis 0 (row i -> prod_{j<i} om[j])
-    via Hillis-Steele shifted multiplies. Multiplicative form: within a
-    chunk the transmittance ratio is a plain product, so the two per-pair
-    transcendentals of the log-space formulation (log1p(-alpha) and the
-    per-pair exp) collapse to ONE per-pixel exp/log pair per chunk at the
-    carry boundary — the per-pair cost keeps only the gaussian's own
-    exp(-q/2)."""
-    if masks is None:
-        masks = _scan_masks(om.shape, length)
+def _exclusive_prod0_flat(om: jax.Array, length: int, masks) -> jax.Array:
+    """Single-level exclusive prefix product along axis 0
+    (row i -> prod_{j<i} om[j]) via Hillis-Steele shifted multiplies."""
     s = jnp.where(masks[0], pltpu.roll(om, 1, axis=0), 1.0)
     shift = 1
     i = 0
@@ -198,6 +219,32 @@ def _exclusive_prod0(om: jax.Array, length: int, masks=None) -> jax.Array:
         shift *= 2
         i += 1
     return s
+
+
+def _exclusive_prod0(om: jax.Array, length: int, masks=None) -> jax.Array:
+    """Exclusive prefix product along axis 0, grouped like
+    `_inclusive_scan0`: per-(GROUP, NPX)-slice Hillis-Steele + a running
+    (1, NPX) prefix-product carry multiplied into each later group.
+
+    Multiplicative form: within a chunk the transmittance ratio is a
+    plain product, so the two per-pair transcendentals of the log-space
+    formulation (log1p(-alpha) and the per-pair exp) collapse to ONE
+    per-pixel exp/log pair per chunk at the carry boundary — the
+    per-pair cost keeps only the gaussian's own exp(-q/2)."""
+    g = min(SCAN_GROUP, length)
+    if masks is None:
+        masks = _scan_masks((g,) + om.shape[1:], g)
+    if g >= length:
+        return _exclusive_prod0_flat(om, length, masks)
+    parts = []
+    carry = None                                  # (1, NPX) prod so far
+    for k in range(0, length, g):
+        blk = om[k:k + g]
+        pex = _exclusive_prod0_flat(blk, g, masks)
+        parts.append(pex if carry is None else pex * carry)
+        tot = parts[-1][g - 1:g] * blk[g - 1:g]
+        carry = tot
+    return jnp.concatenate(parts, axis=0)
 
 
 def _pixel_coords(t, ntx):
@@ -249,7 +296,8 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
     nchunks = jnp.where(end > start,
                         (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
-    masks = _scan_masks((chunk, NPX), chunk)   # loop-invariant, hoisted
+    g = min(SCAN_GROUP, chunk)
+    masks = _scan_masks((g, NPX), g)           # loop-invariant, hoisted
 
     @pl.when(nchunks > 0)
     def _():
@@ -324,7 +372,8 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     nchunks = jnp.where(end > start,
                         (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
-    masks = _scan_masks((chunk, NPX), chunk)   # loop-invariant, hoisted
+    g = min(SCAN_GROUP, chunk)
+    masks = _scan_masks((g, NPX), g)           # loop-invariant, hoisted
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)

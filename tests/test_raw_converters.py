@@ -311,3 +311,245 @@ def test_pandaset_raw_converter(tmp_path):
     np.testing.assert_allclose(dcar, [2.0, 0.0, 0.0], atol=1e-5)
     # masks: pedestrian hits human_masks, car hits vehicle_masks
     assert scene.human_masks is not None
+
+
+# ---------------------------------------------------------------------------
+# Argoverse 2 (feather tables, pyarrow)
+# ---------------------------------------------------------------------------
+
+def _mk_argoverse_raw(root):
+    """Minimal AV2 sensor log: 2 ring cameras, 3 complete lidar sweeps +
+    1 sweep with a missing camera (dropped), a moving REGULAR_VEHICLE and
+    a static BOLLARD (filtered)."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.feather as feather
+
+    from emd_tpu.data.nuscenes_raw import mat_to_quat
+
+    def write(path, cols):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        feather.write_feather(pa.table(cols), str(path))
+
+    n_frames = 3
+    cams = ("ring_front_center", "ring_front_left")
+    # opencv camera looking along ego +x
+    R_cam = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64)
+    qc = mat_to_quat(R_cam)
+
+    write(root / "calibration" / "egovehicle_SE3_sensor.feather", {
+        "sensor_name": list(cams),
+        "qw": [qc[0]] * 2, "qx": [qc[1]] * 2,
+        "qy": [qc[2]] * 2, "qz": [qc[3]] * 2,
+        "tx_m": [1.5, 1.2], "ty_m": [0.0, 0.4], "tz_m": [1.6, 1.6]})
+    write(root / "calibration" / "intrinsics.feather", {
+        "sensor_name": list(cams),
+        "fx_px": [100.0] * 2, "fy_px": [100.0] * 2,
+        "cx_px": [32.0] * 2, "cy_px": [24.0] * 2,
+        "height_px": [48] * 2, "width_px": [64] * 2})
+
+    sweep_ts = [1_000_000_000 + 100_000_000 * f for f in range(n_frames)]
+    extra_ts = 1_000_000_000 + 100_000_000 * n_frames
+    ego_rows = {"timestamp_ns": [], "qw": [], "qx": [], "qy": [],
+                "qz": [], "tx_m": [], "ty_m": [], "tz_m": []}
+    for f, ts in enumerate(sweep_ts + [extra_ts]):
+        for t in (ts, ts + 5_000_000):
+            ego_rows["timestamp_ns"].append(t)
+            ego_rows["qw"].append(1.0)
+            for k in ("qx", "qy", "qz"):
+                ego_rows[k].append(0.0)
+            ego_rows["tx_m"].append(2.0 * f)
+            ego_rows["ty_m"].append(0.0)
+            ego_rows["tz_m"].append(0.0)
+    write(root / "city_SE3_egovehicle.feather", ego_rows)
+
+    p_world = np.array([10.0, 1.0, 1.0])
+    ann = {k: [] for k in ("timestamp_ns", "track_uuid", "category",
+                           "length_m", "width_m", "height_m",
+                           "qw", "qx", "qy", "qz",
+                           "tx_m", "ty_m", "tz_m")}
+    for f, ts in enumerate(sweep_ts):
+        # lidar sweep: world-fixed point in the ego frame, + intensity
+        pe = p_world - [2.0 * f, 0.0, 0.0]
+        write(root / "sensors" / "lidar" / f"{ts}.feather", {
+            "x": [pe[0]] * 4, "y": [pe[1]] * 4, "z": [pe[2]] * 4,
+            "intensity": [37.0] * 4})
+        # images 5 ms after the sweep for every camera
+        for cam in cams:
+            d = root / "sensors" / "cameras" / cam
+            d.mkdir(parents=True, exist_ok=True)
+            _write_jpg(d / f"{ts + 5_000_000}.jpg")
+        # moving vehicle (EGO-frame annotation, o2w = v2w @ o2v)
+        for tid, cat, x in (("veh0", "REGULAR_VEHICLE", 12.0 + 1.5 * f),
+                            ("bol0", "BOLLARD", 5.0)):
+            ann["timestamp_ns"].append(ts)
+            ann["track_uuid"].append(tid)
+            ann["category"].append(cat)
+            ann["length_m"].append(4.5 if cat != "BOLLARD" else 0.3)
+            ann["width_m"].append(1.9 if cat != "BOLLARD" else 0.3)
+            ann["height_m"].append(1.6 if cat != "BOLLARD" else 1.0)
+            ann["qw"].append(1.0)
+            for k in ("qx", "qy", "qz"):
+                ann[k].append(0.0)
+            ann["tx_m"].append(x)
+            ann["ty_m"].append(1.0)
+            ann["tz_m"].append(0.8)
+    # a 4th sweep whose front_left image is missing -> frame dropped
+    write(root / "sensors" / "lidar" / f"{extra_ts}.feather", {
+        "x": [0.0], "y": [0.0], "z": [0.0], "intensity": [0.0]})
+    _write_jpg(root / "sensors" / "cameras" / "ring_front_center"
+               / f"{extra_ts + 5_000_000}.jpg")  # dir exists from above
+    write(root / "annotations.feather", ann)
+    return n_frames
+
+
+def test_argoverse_raw_converter(tmp_path):
+    from emd_tpu.data.argoverse_raw import convert_argoverse
+
+    n_frames = _mk_argoverse_raw(tmp_path / "log")
+    out = str(tmp_path / "proc")
+    n = convert_argoverse(str(tmp_path / "log"), out)
+    assert n == n_frames                 # incomplete 4th sweep dropped
+
+    scene = load_scene(out, layout="argoverse")
+    assert scene.num_frames == n_frames and scene.num_cams == 2
+    # the world-fixed lidar point agrees across frames after the rebase
+    for f in range(1, n_frames):
+        np.testing.assert_allclose(scene.lidar_points[f][0],
+                                   scene.lidar_points[0][0], atol=1e-4)
+    # 4-wide ego-frame rows on disk (argoverse_sourceloader.py:397-404)
+    raw = np.fromfile(os.path.join(out, "lidar", "000.bin"), np.float32)
+    assert raw.size % 4 == 0 and raw.reshape(-1, 4)[0, 3] == 37.0
+    # instances: bollard filtered, vehicle kept, l-w-h size
+    assert len(scene.instances) == 1
+    veh = scene.instances[0]
+    assert veh.class_name == "REGULAR_VEHICLE"
+    np.testing.assert_allclose(veh.size, [4.5, 1.9, 1.6], atol=1e-6)
+    # annotation is ego-frame: o2w = v2w @ o2v moves with ego + its own
+    # +1.5 m/frame -> +3.5 m/frame in (rebased) world x
+    dv = veh.poses[1][:3, 3] - veh.poses[0][:3, 3]
+    np.testing.assert_allclose(dv, [3.5, 0.0, 0.0], atol=1e-5)
+    # masks: vehicle present, no humans
+    assert scene.vehicle_masks is not None and scene.vehicle_masks.any()
+    assert not scene.human_masks.any()
+
+
+# ---------------------------------------------------------------------------
+# NuPlan (sqlite + pcd blobs)
+# ---------------------------------------------------------------------------
+
+def _write_pcd(path, cols: np.ndarray):
+    """Binary PCD with 6 float32 fields (x y z intensity ring id)."""
+    hdr = ("# .PCD v0.7\nVERSION 0.7\n"
+           "FIELDS x y z intensity ring lidar_id\n"
+           "SIZE 4 4 4 4 4 4\nTYPE F F F F F F\nCOUNT 1 1 1 1 1 1\n"
+           f"WIDTH {len(cols)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+           f"POINTS {len(cols)}\nDATA binary\n")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        f.write(cols.astype(np.float32).tobytes())
+
+
+def _mk_nuplan_raw(root):
+    """Minimal log db + blobs: 2 cameras at 10 Hz, lidar at 20 Hz (every
+    2nd kept), a moving vehicle and a traffic_cone (filtered)."""
+    import sqlite3 as sq
+
+    from emd_tpu.data.nuscenes_raw import mat_to_quat
+
+    blobs = root / "blobs"
+    blobs.mkdir(parents=True)
+    db_path = root / "log.db"
+    db = sq.connect(str(db_path))
+    db.executescript("""
+        CREATE TABLE camera (token BLOB, channel TEXT, translation TEXT,
+            rotation TEXT, intrinsic TEXT, distortion TEXT);
+        CREATE TABLE image (camera_token BLOB, timestamp INTEGER,
+            filename_jpg TEXT);
+        CREATE TABLE lidar_pc (token BLOB, ego_pose_token BLOB,
+            timestamp INTEGER, filename TEXT);
+        CREATE TABLE ego_pose (token BLOB, x REAL, y REAL, z REAL,
+            qw REAL, qx REAL, qy REAL, qz REAL);
+        CREATE TABLE lidar_box (lidar_pc_token BLOB, track_token BLOB,
+            x REAL, y REAL, z REAL, yaw REAL, width REAL, length REAL,
+            height REAL);
+        CREATE TABLE track (token BLOB, category_token BLOB);
+        CREATE TABLE category (token BLOB, name TEXT);
+    """)
+    R_cam = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float64)
+    qc = mat_to_quat(R_cam)
+    for ci, ch in enumerate(("CAM_F0", "CAM_L0")):
+        db.execute("INSERT INTO camera VALUES (?,?,?,?,?,?)", (
+            bytes([ci]), ch, json.dumps([1.5, 0.3 * ci, 1.6]),
+            json.dumps(list(qc)),
+            json.dumps([[100.0, 0, 32.0], [0, 100.0, 24.0], [0, 0, 1]]),
+            json.dumps([0.0, 0.0, 0.0, 0.0, 0.0])))
+    db.execute("INSERT INTO category VALUES (?,?)", (b"cv", "vehicle"))
+    db.execute("INSERT INTO category VALUES (?,?)",
+               (b"cc", "traffic_cone"))
+    db.execute("INSERT INTO track VALUES (?,?)", (b"tv", b"cv"))
+    db.execute("INSERT INTO track VALUES (?,?)", (b"tc", b"cc"))
+
+    p_world = np.array([10.0, 1.0, 1.0])
+    n_lidar = 6                        # 20 Hz -> 3 kept frames
+    for li in range(n_lidar):
+        ts = 1_000_000 + 50_000 * li
+        tok, ep = bytes([100 + li]), bytes([200 + li])
+        f = li / 2.0                   # ego x = 2 m per KEPT frame
+        db.execute("INSERT INTO ego_pose VALUES (?,?,?,?,?,?,?,?)",
+                   (ep, 2.0 * f, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+        pcd_name = f"ld_{li}.pcd"
+        db.execute("INSERT INTO lidar_pc VALUES (?,?,?,?)",
+                   (tok, ep, ts, pcd_name))
+        pe = p_world - [2.0 * f, 0.0, 0.0]
+        rows = np.tile(np.array([*pe, 25.0, 3.0, 0.0], np.float32),
+                       (4, 1))
+        _write_pcd(blobs / pcd_name, rows)
+        # boxes at every lidar_pc (only kept frames matter)
+        db.execute("INSERT INTO lidar_box VALUES (?,?,?,?,?,?,?,?,?)",
+                   (tok, b"tv", 12.0 + 1.5 * f, 1.0, 0.8, 0.0,
+                    1.9, 4.5, 1.6))
+        db.execute("INSERT INTO lidar_box VALUES (?,?,?,?,?,?,?,?,?)",
+                   (tok, b"tc", 5.0, -2.0, 0.3, 0.0, 0.3, 0.3, 0.6))
+    # images at 10 Hz on the EVEN lidar phase
+    for ci in range(2):
+        for f in range(3):
+            ts = 1_000_000 + 100_000 * f
+            name = f"cam{ci}_{f}.jpg"
+            db.execute("INSERT INTO image VALUES (?,?,?)",
+                       (bytes([ci]), ts, name))
+            _write_jpg(blobs / name)
+    db.commit()
+    db.close()
+    return str(db_path), str(blobs)
+
+
+def test_nuplan_raw_converter(tmp_path):
+    from emd_tpu.data.nuplan_raw import convert_nuplan, read_pcd
+
+    db_path, blobs = _mk_nuplan_raw(tmp_path / "raw")
+    out = str(tmp_path / "proc")
+    n = convert_nuplan(db_path, blobs, out, start_frame_idx=0)
+    assert n == 3                      # 6 sweeps at 20 Hz -> every 2nd
+
+    scene = load_scene(out, layout="nuplan")
+    assert scene.num_frames == 3 and scene.num_cams == 2
+    for f in range(1, 3):
+        np.testing.assert_allclose(scene.lidar_points[f][0],
+                                   scene.lidar_points[0][0], atol=1e-4)
+    # 6-wide rows on disk (nuplan_sourceloader.py:397-414)
+    raw = np.fromfile(os.path.join(out, "lidar", "000.bin"), np.float32)
+    assert raw.size % 6 == 0 and raw.reshape(-1, 6)[0, 3] == 25.0
+    # cone filtered, vehicle kept; box_size written l-w-h from the
+    # db's (width, length, height) columns
+    assert len(scene.instances) == 1
+    veh = scene.instances[0]
+    assert veh.class_name == "vehicle"
+    np.testing.assert_allclose(veh.size, [4.5, 1.9, 1.6], atol=1e-6)
+    dv = veh.poses[1][:3, 3] - veh.poses[0][:3, 3]
+    np.testing.assert_allclose(dv, [1.5, 0.0, 0.0], atol=1e-5)
+    assert scene.vehicle_masks is not None and scene.vehicle_masks.any()
+    assert not scene.human_masks.any()
+    # pcd reader: ascii + binary agree
+    b = read_pcd(os.path.join(blobs, "ld_0.pcd"))
+    assert b.shape == (4, 6)
