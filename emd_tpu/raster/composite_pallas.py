@@ -138,8 +138,11 @@ def _alpha_terms(data, px, py, with_feat):
 # fix-ups, instead of log2(chunk) steps over the full chunk. The groups
 # are CONTIGUOUS 8-aligned sublane slices — unlike the measured
 # sublane-STRIDED two-level variant (BENCH_NOTES dead ends), slicing
-# costs nothing. 128 = single-level (the round-3 behavior).
-SCAN_GROUP = int(__import__("os").environ.get("EMD_TPU_SCAN_GROUP", "32"))
+# costs nothing, and at GROUP=8 every roll stays inside one vreg
+# sublane span. Official bench on a v5e chip by group:
+# 128 (single-level, the round-3 behavior) 20.2 Mpix/s, 64 -> 22.5,
+# 32 -> 22.3, 16 -> 23.0, 8 -> 23.2.
+SCAN_GROUP = int(__import__("os").environ.get("EMD_TPU_SCAN_GROUP", "8"))
 
 
 def _scan_masks(shape, length):
