@@ -26,9 +26,10 @@ Design (TPU-first, not a CUDA translation):
 - Backward re-walks chunks back-to-front, reconstructing log-transmittance
   exactly: the forward emits per-pixel final log-transmittance s (channel 4;
   alpha = 1 - exp(s) is computed OUTSIDE the kernel so autodiff routes the
-  alpha cotangent into ds for free) and the per-tile stop chunk k_star, so
-  no replay sweep is needed; chunks the forward never composited get zero
-  gradients, and the suffix-sum term comes from the same scan. Gradients
+  alpha cotangent into ds for free) and the per-tile composited-prefix
+  length in SUB-chunk units (meta), so no replay sweep is needed;
+  sub-chunks the forward never composited get zero gradients, and the
+  suffix-sum term comes from the same scan. Gradients
   are written per *instance* (each instance is owned by exactly one tile —
   race-free by construction) and reduced to per-gaussian gradients by the
   VJP of the gather outside the kernel.
@@ -47,7 +48,8 @@ simply not carried):
 Output channels (per tile, (8, 1024)):
   [0:3] rgb  [3] accumulated depth  [4] final log-transmittance s
   [5:8] rendered feature
-plus a per-tile meta output [(n_tiles, 8, 128)] carrying the stop chunk.
+plus a per-tile meta output [(n_tiles, 8, 128)] carrying the composited
+prefix length in sub-chunk units.
 """
 from __future__ import annotations
 
@@ -84,6 +86,12 @@ HP = jax.lax.Precision.HIGHEST
 # layout's segment alignment, and the early-termination granularity.
 # Env-overridable for hardware experiments (128 measured best on v5e).
 CHUNK_STATIC = int(__import__("os").environ.get("EMD_TPU_CHUNK", "128"))
+# Sub-chunks per DMA chunk: the DMA window stays CHUNK lanes (Mosaic
+# requires 128-aligned lane windows) but compute runs per
+# (CHUNK/NSUB)-row sub-chunk, skipping sub-chunks that lie entirely in
+# the aligned walk's head/tail boundary slack and early-terminating at
+# sub-chunk granularity. 1 = whole-chunk compute (the round-3 behavior).
+NSUB = int(__import__("os").environ.get("EMD_TPU_SUBCHUNKS", "2"))
 
 
 def pack_instances(means2d, conics, colors, opacities, depths,
@@ -291,7 +299,7 @@ def _mask_chunk(data, valid):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
-                ntx, with_feat):
+                ntx, with_feat, nsub):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
@@ -299,19 +307,21 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
     nchunks = jnp.where(end > start,
                         (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
-    g = min(SCAN_GROUP, chunk)
+    H = chunk // nsub                    # sub-chunk rows (compute unit)
+    g = min(SCAN_GROUP, H)
     masks = _scan_masks((g, NPX), g)           # loop-invariant, hoisted
+    log_eps = jnp.log(T_EPS)
 
     @pl.when(nchunks > 0)
     def _():
         _chunk_dma(inst_ref, buf, sem, base, 0, chunk, 0).start()
 
     def cond(carry):
-        c, s, rgb, dep, fea = carry
-        return (c < nchunks) & (jnp.max(s) > jnp.log(T_EPS))
+        c, hcount, s, rgb, dep, fea = carry
+        return (c < nchunks) & (jnp.max(s) > log_eps)
 
     def body(carry):
-        c, s, rgb, dep, fea = carry
+        c, hcount, s, rgb, dep, fea = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -322,30 +332,53 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
         _chunk_dma(inst_ref, buf, sem, base, c, chunk, slot).wait()
         data = _mask_chunk(buf[slot],
                            _lane_valid(base, c, chunk, start, end))
-        terms = _alpha_terms(data.T, px, py, with_feat)
-        om = terms["om"]
-        pex = _exclusive_prod0(om, chunk, masks)        # T_g / T_chunk_start
-        w = terms["alpha"] * (jnp.exp(s) * pex)         # exp: per PIXEL
-        rgb = rgb + jnp.dot(terms["colors"].T, w,
-                            preferred_element_type=jnp.float32,
-                            precision=HP)
-        dep = dep + jnp.dot(terms["depth"].T, w,
-                            preferred_element_type=jnp.float32,
-                            precision=HP)
-        if with_feat:           # static: absent features skip the matmul
-            fea = fea + jnp.dot(terms["feat"].T, w,
-                                preferred_element_type=jnp.float32,
-                                precision=HP)
-        prod = pex[chunk - 1:chunk, :] * om[chunk - 1:chunk, :]
-        s = s + jnp.log(jnp.maximum(prod, PROD_FLOOR))  # log: per PIXEL
-        return c + 1, s, rgb, dep, fea
+        dataT = data.T                              # (chunk, ROWS_PHYS)
+        # DMA stays chunk-wide (Mosaic requires 128-aligned lane
+        # windows) but COMPUTE runs per H-row sub-chunk: sub-chunks
+        # entirely outside [start, end) — the head/tail boundary slack
+        # of the aligned walk — are skipped, and early termination
+        # fires at sub-chunk granularity. `hcount` records the
+        # early-termination prefix in absolute sub-chunk units (s is
+        # non-increasing, so the max(s) test is monotone); the backward
+        # replays exactly the sub-chunks with index < hcount.
+        for h in range(nsub):
+            lo = base + c * chunk + h * H
+            ok = jnp.max(s) > log_eps
+            hcount = jnp.where(ok, c * nsub + h + 1, hcount)
+            run = ok & (lo < end) & (lo + H > start)
+            sub = dataT[h * H:(h + 1) * H]
+
+            def compute(args, sub=sub):
+                s, rgb, dep, fea = args
+                terms = _alpha_terms(sub, px, py, with_feat)
+                om = terms["om"]
+                pex = _exclusive_prod0(om, H, masks)   # T_g/T_sub_start
+                w = terms["alpha"] * (jnp.exp(s) * pex)  # exp: per PIXEL
+                rgb = rgb + jnp.dot(terms["colors"].T, w,
+                                    preferred_element_type=jnp.float32,
+                                    precision=HP)
+                dep = dep + jnp.dot(terms["depth"].T, w,
+                                    preferred_element_type=jnp.float32,
+                                    precision=HP)
+                if with_feat:   # static: absent features skip the matmul
+                    fea = fea + jnp.dot(terms["feat"].T, w,
+                                        preferred_element_type=jnp.float32,
+                                        precision=HP)
+                prod = pex[H - 1:H, :] * om[H - 1:H, :]
+                s2 = s + jnp.log(jnp.maximum(prod, PROD_FLOOR))
+                return s2, rgb, dep, fea
+
+            s, rgb, dep, fea = jax.lax.cond(
+                run, compute, lambda a: a, (s, rgb, dep, fea))
+        return c + 1, hcount, s, rgb, dep, fea
 
     init = (jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
             jnp.zeros((1, NPX), jnp.float32),
             jnp.zeros((3, NPX), jnp.float32),
             jnp.zeros((1, NPX), jnp.float32),
             jnp.zeros((3, NPX), jnp.float32))
-    c_end, s, rgb, dep, fea = jax.lax.while_loop(cond, body, init)
+    c_end, hcount, s, rgb, dep, fea = jax.lax.while_loop(cond, body, init)
 
     # drain: an early exit leaves the prefetch of chunk c_end in flight; an
     # unwaited DMA would corrupt the next tile's buffer reuse.
@@ -358,7 +391,7 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
     out_ref[0, 3:4, :] = dep
     out_ref[0, 4:5, :] = s
     out_ref[0, 5:8, :] = fea
-    meta_ref[0] = jnp.full((8, 128), c_end.astype(jnp.float32))
+    meta_ref[0] = jnp.full((8, 128), hcount.astype(jnp.float32))
 
 
 # ----------------------------------------------------------------------------
@@ -367,25 +400,25 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
 
 def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
                 dinst_ref, buf, gbuf, rmw_buf, sem, wsem, rsem, *, chunk,
-                ntx, with_feat):
+                ntx, with_feat, nsub):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
     base = (start // chunk) * chunk
-    nchunks = jnp.where(end > start,
-                        (end - base + chunk - 1) // chunk, 0)
     px, py = _pixel_coords(t, ntx)
-    g = min(SCAN_GROUP, chunk)
+    H = chunk // nsub
+    g = min(SCAN_GROUP, H)
     masks = _scan_masks((g, NPX), g)           # loop-invariant, hoisted
 
     grgb = gout_ref[0, 0:3, :]       # (3, NPX)
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
     gs = gout_ref[0, 4:5, :]         # (1, NPX) cotangent of log-transmit s
     gfea = gout_ref[0, 5:8, :]       # (3, NPX)
-    # forward residuals: per-pixel final log-transmittance + stop chunk —
-    # no replay sweep needed.
+    # forward residuals: per-pixel final log-transmittance + the
+    # early-termination prefix in SUB-chunk units — no replay sweep.
     l_total = out_res_ref[0, 4:5, :]
-    k_star = meta_ref[0, 0, 0].astype(jnp.int32)
+    h_stop = meta_ref[0, 0, 0].astype(jnp.int32)
+    n_used = (h_stop + nsub - 1) // nsub       # chunks to walk
 
     # Boundary-chunk merge: chunk 0 of this tile's aligned window may
     # hold the PREVIOUS tile's segment tail, already written by the
@@ -397,7 +430,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     low0 = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) < start
     # only read when chunk 0 will actually be (re)written — an unwaited
     # in-flight read would corrupt the next grid step's buffer reuse
-    shared_first = (start % chunk != 0) & (k_star > 0)
+    shared_first = (start % chunk != 0) & (n_used > 0)
 
     def _rmw_read():
         return pltpu.make_async_copy(
@@ -416,20 +449,21 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             _rmw_read().wait()
         return jnp.where(low0, rmw_buf[...], mine_t)
 
-    # chunks in [k_star, nchunks) were never composited: the kernel does
-    # NOT write them (a loop of tiny zero DMAs serializes on write
+    # chunks past the composited prefix were never walked: the kernel
+    # does NOT write them (a loop of tiny zero DMAs serializes on write
     # latency); the wrapper zeroes every slot past its owner's composited
     # end with one forward-filled mask.
 
-    @pl.when(k_star > 0)
+    @pl.when(n_used > 0)
     def _():
-        _chunk_dma(inst_ref, buf, sem, base, k_star - 1, chunk, 0).start()
+        _chunk_dma(inst_ref, buf, sem, base, n_used - 1, chunk, 0).start()
 
-    # sweep 2: reverse over composited chunks. B carries
-    # sum_{j > current} w_j wbar_j plus the final-transmittance term.
+    # sweep 2: reverse over composited sub-chunks (DMA granularity stays
+    # a full chunk). B carries sum_{j > current} w_j wbar_j plus the
+    # final-transmittance term.
     def rev_body(k, carry):
         s_end, b = carry
-        c = k_star - 1 - k
+        c = n_used - 1 - k
 
         @pl.when(c - 1 >= 0)
         def _():
@@ -440,86 +474,104 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         _chunk_dma(inst_ref, buf, sem, base, c, chunk, slot).wait()
         data = _mask_chunk(buf[slot],
                            _lane_valid(base, c, chunk, start, end))
-        terms = _alpha_terms(data.T, px, py, with_feat)
-        alpha = terms["alpha"]
-        om = terms["om"]
-        pex = _exclusive_prod0(om, chunk, masks)
-        prod = pex[chunk - 1:chunk, :] * om[chunk - 1:chunk, :]
-        csum = jnp.log(jnp.maximum(prod, PROD_FLOOR))  # matches fwd exactly
-        s_start = s_end - csum
-        t_g = jnp.exp(s_start) * pex                       # (C, NPX)
-        w = alpha * t_g
-        # one fused (C, 4|7) @ (4|7, NPX) matmul: rgb + depth (+ feat)
-        lhs = [terms["colors"], terms["depth"]]
-        rhs = [grgb, gdep]
-        if with_feat:
-            lhs.append(terms["feat"])
-            rhs.append(gfea)
-        wbar = jnp.dot(jnp.concatenate(lhs, axis=1),
-                       jnp.concatenate(rhs, axis=0),
-                       preferred_element_type=jnp.float32,
-                       precision=HP)                        # (C, NPX)
-        ww = w * wbar
-        # suffix-exclusive sum along C: chunk total - inclusive scan.
-        # (A strict-upper-triangle MXU matmul was measured SLOWER on v5e
-        # — f32 HIGHEST matmuls don't overlap enough to beat the VPU
-        # scan; official bench 21.7 -> 20.1 Mpix/s. Same verdict as the
-        # round-1 triangular-matmul transmittance scan.)
-        ww_in = _inclusive_scan0(ww, chunk, masks)
-        r = b + (ww_in[chunk - 1:chunk, :] - ww_in)
-        abar = t_g * wbar - r / om
-        abar = jnp.where(terms["live"], abar, 0.0)
-        common = abar * terms["opa"] * terms["g"]
-        ca, cb, cc = terms["ca"], terms["cb"], terms["cc"]
+        dataT = data.T
 
-        # mean/conic gradients as pixel MOMENTS: the six cross-lane
-        # reductions rsum(common * f(dx, dy)) collapse into ONE MXU
-        # matmul against a constant per-tile moment basis
-        # P = [1, x, y, x^2, xy, y^2] in TILE-LOCAL coordinates (local
-        # coords keep the expanded sums well-conditioned), then tiny
-        # (C, 1) recombination:
-        #   sum c*dx       = Sx - mx*S0
-        #   sum c*dx*dx    = Sxx - 2 mx Sx + mx^2 S0   (etc.)
-        px0 = (t % ntx * TILE).astype(jnp.float32)
-        py0 = (t // ntx * TILE).astype(jnp.float32)
-        pxr = px - px0                                    # (1, NPX) exact
-        pyr = py - py0
-        basis = jnp.concatenate(
-            [jnp.ones_like(pxr), pxr, pyr, pxr * pxr, pxr * pyr,
-             pyr * pyr], axis=0)                          # (6, NPX)
-        M = jnp.dot(common, basis.T,
-                    preferred_element_type=jnp.float32, precision=HP)
-        s0, sx, sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
-        sxx, sxy, syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
-        mxr = terms["mx"] - px0                           # (C, 1)
-        myr = terms["my"] - py0
-        dxs = sx - mxr * s0                               # sum common*dx
-        dys = sy - myr * s0
-        dxxs = sxx - 2.0 * mxr * sx + mxr * mxr * s0
-        dxys = sxy - mxr * sy - myr * sx + mxr * myr * s0
-        dyys = syy - 2.0 * myr * sy + myr * myr * s0
-        # d rgb / d depth (/ d feature) in one matmul
-        rhs = [grgb, gdep] + ([gfea] if with_feat else [])
-        wd = jnp.dot(w, jnp.concatenate(rhs, axis=0).T,
-                     preferred_element_type=jnp.float32, precision=HP)
-        gcols = [
-            ca * dxs + cb * dys,                             # d mean_x
-            cb * dxs + cc * dys,                             # d mean_y
-            -0.5 * dxxs,                                     # d conic_a
-            -dxys,                                           # d conic_b
-            -0.5 * dyys,                                     # d conic_c
-            wd[:, 0:3],                                      # d rgb
-            # rsum(g*abar) = rsum(common)/opa; opa >= 1/255 wherever any
-            # pixel is live (else common == 0), so the floor only guards
-            # exact-zero rows
-            s0 / jnp.maximum(terms["opa"], 1e-20),           # d opacity
-            wd[:, 3:4],                                      # d depth
-        ]
-        if with_feat:
-            gcols.append(wd[:, 4:7])                         # d feature
-        rows = ROWS_FEAT if with_feat else ROWS_BASE
-        gcols.append(jnp.zeros((chunk, ROWS_PHYS - rows), jnp.float32))
-        gmat = jnp.concatenate(gcols, axis=1)            # (C, ROWS_PHYS)
+        def sub_grad(sub, s_end, b):
+            """Per-sub-chunk gradient math; returns ((s_start, b'),
+            gmat_h (H, ROWS_PHYS))."""
+            terms = _alpha_terms(sub, px, py, with_feat)
+            alpha = terms["alpha"]
+            om = terms["om"]
+            pex = _exclusive_prod0(om, H, masks)
+            prod = pex[H - 1:H, :] * om[H - 1:H, :]
+            csum = jnp.log(jnp.maximum(prod, PROD_FLOOR))  # matches fwd
+            s_start = s_end - csum
+            t_g = jnp.exp(s_start) * pex                   # (H, NPX)
+            w = alpha * t_g
+            # one fused (H, 4|7) @ (4|7, NPX) matmul: rgb+depth(+feat)
+            lhs = [terms["colors"], terms["depth"]]
+            rhs = [grgb, gdep]
+            if with_feat:
+                lhs.append(terms["feat"])
+                rhs.append(gfea)
+            wbar = jnp.dot(jnp.concatenate(lhs, axis=1),
+                           jnp.concatenate(rhs, axis=0),
+                           preferred_element_type=jnp.float32,
+                           precision=HP)                    # (H, NPX)
+            ww = w * wbar
+            # suffix-exclusive sum: total - inclusive scan. (A strict-
+            # upper-triangle MXU matmul was measured SLOWER on v5e — see
+            # BENCH_NOTES dead ends.)
+            ww_in = _inclusive_scan0(ww, H, masks)
+            r = b + (ww_in[H - 1:H, :] - ww_in)
+            abar = t_g * wbar - r / om
+            abar = jnp.where(terms["live"], abar, 0.0)
+            common = abar * terms["opa"] * terms["g"]
+            ca, cb, cc = terms["ca"], terms["cb"], terms["cc"]
+
+            # mean/conic gradients as pixel MOMENTS: the six cross-lane
+            # reductions rsum(common * f(dx, dy)) collapse into ONE MXU
+            # matmul against a constant per-tile moment basis
+            # P = [1, x, y, x^2, xy, y^2] in TILE-LOCAL coordinates
+            # (local coords keep the expanded sums well-conditioned),
+            # then tiny (H, 1) recombination:
+            #   sum c*dx       = Sx - mx*S0
+            #   sum c*dx*dx    = Sxx - 2 mx Sx + mx^2 S0   (etc.)
+            px0 = (t % ntx * TILE).astype(jnp.float32)
+            py0 = (t // ntx * TILE).astype(jnp.float32)
+            pxr = px - px0                                # (1, NPX) exact
+            pyr = py - py0
+            basis = jnp.concatenate(
+                [jnp.ones_like(pxr), pxr, pyr, pxr * pxr, pxr * pyr,
+                 pyr * pyr], axis=0)                      # (6, NPX)
+            M = jnp.dot(common, basis.T,
+                        preferred_element_type=jnp.float32, precision=HP)
+            s0, sx, sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+            sxx, sxy, syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+            mxr = terms["mx"] - px0                       # (H, 1)
+            myr = terms["my"] - py0
+            dxs = sx - mxr * s0                           # sum common*dx
+            dys = sy - myr * s0
+            dxxs = sxx - 2.0 * mxr * sx + mxr * mxr * s0
+            dxys = sxy - mxr * sy - myr * sx + mxr * myr * s0
+            dyys = syy - 2.0 * myr * sy + myr * myr * s0
+            # d rgb / d depth (/ d feature) in one matmul
+            rhs = [grgb, gdep] + ([gfea] if with_feat else [])
+            wd = jnp.dot(w, jnp.concatenate(rhs, axis=0).T,
+                         preferred_element_type=jnp.float32, precision=HP)
+            gcols = [
+                ca * dxs + cb * dys,                         # d mean_x
+                cb * dxs + cc * dys,                         # d mean_y
+                -0.5 * dxxs,                                 # d conic_a
+                -dxys,                                       # d conic_b
+                -0.5 * dyys,                                 # d conic_c
+                wd[:, 0:3],                                  # d rgb
+                # rsum(g*abar) = rsum(common)/opa; opa >= 1/255 wherever
+                # any pixel is live (else common == 0), so the floor
+                # only guards exact-zero rows
+                s0 / jnp.maximum(terms["opa"], 1e-20),       # d opacity
+                wd[:, 3:4],                                  # d depth
+            ]
+            if with_feat:
+                gcols.append(wd[:, 4:7])                     # d feature
+            rows = ROWS_FEAT if with_feat else ROWS_BASE
+            gcols.append(jnp.zeros((H, ROWS_PHYS - rows), jnp.float32))
+            b2 = b + ww_in[H - 1:H, :]          # + sub-chunk total
+            return (s_start, b2), jnp.concatenate(gcols, axis=1)
+
+        gparts = [None] * nsub
+        for h in reversed(range(nsub)):         # back-to-front
+            lo = base + c * chunk + h * H
+            live = ((c * nsub + h < h_stop) & (lo < end)
+                    & (lo + H > start))
+            sub = dataT[h * H:(h + 1) * H]
+            (s_end, b), gparts[h] = jax.lax.cond(
+                live,
+                lambda a, sub=sub: sub_grad(sub, *a),
+                lambda a: (a, jnp.zeros((H, ROWS_PHYS), jnp.float32)),
+                (s_end, b))
+        gmat = (gparts[0] if nsub == 1
+                else jnp.concatenate(gparts, axis=0))   # (C, ROWS_PHYS)
         gslot = jax.lax.rem(k, 2)
         # the write DMA is double-buffered like the reads: before reusing
         # this gbuf slot, wait only for the write issued TWO iterations
@@ -531,11 +583,10 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
         gbuf[gslot] = jax.lax.cond(c == 0, chunk0_merge,
                                    lambda m: m, gmat.T)
         _grad_wcp(k, gslot).start()
-        b = b + ww_in[chunk - 1:chunk, :]      # + chunk total
-        return s_start, b
+        return s_end, b
 
     def _grad_wcp(k, gslot):
-        c = k_star - 1 - k
+        c = n_used - 1 - k
         return pltpu.make_async_copy(
             gbuf.at[gslot],
             dinst_ref.at[:, pl.ds(pl.multiple_of(base + c * chunk, chunk),
@@ -544,17 +595,17 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     # s = sum log(1-alpha): ds/dalpha_g = -1/(1-alpha_g), so seeding the
     # suffix carrier with gs yields abar -= gs/(1-alpha) — the exact final-
     # transmittance term (gs arrives as -galpha*T_fin from alpha=1-exp(s)).
-    jax.lax.fori_loop(0, k_star, rev_body, (l_total, gs))
+    jax.lax.fori_loop(0, n_used, rev_body, (l_total, gs))
 
     # drain the last (up to two) in-flight gradient writes before the next
     # grid step reuses gbuf
-    @pl.when(k_star >= 1)
+    @pl.when(n_used >= 1)
     def _():
-        _grad_wcp(k_star - 1, jax.lax.rem(k_star - 1, 2)).wait()
+        _grad_wcp(n_used - 1, jax.lax.rem(n_used - 1, 2)).wait()
 
-    @pl.when(k_star >= 2)
+    @pl.when(n_used >= 2)
     def _():
-        _grad_wcp(k_star - 2, jax.lax.rem(k_star - 2, 2)).wait()
+        _grad_wcp(n_used - 2, jax.lax.rem(n_used - 2, 2)).wait()
 
 
 # ----------------------------------------------------------------------------
@@ -605,7 +656,7 @@ def _composite_fwd_call(inst_data, tile_offsets, ntx, nty, interpret,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, ntx=ntx,
-                          with_feat=with_feat),
+                          with_feat=with_feat, nsub=NSUB),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, 8, NPX), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
@@ -654,7 +705,7 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
     )
     dinst_phys = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, ntx=ntx,
-                          with_feat=with_feat),
+                          with_feat=with_feat, nsub=NSUB),
         out_shape=jax.ShapeDtypeStruct((ROWS_PHYS, inst_data.shape[1]),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -662,20 +713,21 @@ def _composite_bwd(ntx, nty, interpret, with_feat, res, gout):
     )(tile_offsets, inst_phys, out, gout, meta)
     dinst_raw = dinst_phys[:rows]
     # Per-slot written mask: slot s (owned by tile t, exact segments) is
-    # written iff s < comp_end[t] = clip(base_t + k_star_t*chunk,
-    # start_t, end_t). The clip makes comp_end non-decreasing across
+    # written iff s < comp_end[t] = clip(base_t + h_stop_t*(chunk/NSUB),
+    # start_t, end_t) — h_stop is the forward's early-termination prefix
+    # in sub-chunk units. The clip makes comp_end non-decreasing across
     # tiles (each lies inside its tile's interval), so ONE scatter at
     # segment starts + a forward-fill cummax gives the per-slot bound;
-    # everything else (never-composited chunks, garbage boundary lanes a
-    # neighbour's RMW preserved, the parking tail) is zeroed here.
+    # everything else (never-composited sub-chunks, garbage boundary
+    # lanes a neighbour's RMW preserved, the parking tail) is zeroed.
     from .scan_pallas import cummax_fill_i32
 
     m = inst_data.shape[1]
     starts = tile_offsets[:-1]
     ends = tile_offsets[1:]
     bases = (starts // chunk) * chunk
-    k_star = meta[:, 0, 0].astype(jnp.int32)                 # (n_tiles,)
-    comp_end = jnp.clip(bases + k_star * chunk, starts, ends)
+    h_stop = meta[:, 0, 0].astype(jnp.int32)                 # (n_tiles,)
+    comp_end = jnp.clip(bases + h_stop * (chunk // NSUB), starts, ends)
     pos = jnp.where(ends > starts, starts, m).astype(jnp.int32)
     buf = jnp.full((m + 1,), -1, jnp.int32).at[pos].max(comp_end)
     bound = cummax_fill_i32(buf[:m], interpret=interpret)
