@@ -81,6 +81,10 @@ ALPHA_MAX = 0.99
 # whole tiles earlier than the previous 1e-5 and the truncated tail is
 # bounded by T_EPS, within the 1e-4 oracle gate.
 T_EPS = 1e-4
+# Matmul precision for the compositor's accumulation/cotangent/moment
+# matmuls. HIGHEST = 6-pass bf16 (f32-exact). (Precision.HIGH — the
+# 3-pass variant — is NOT lowerable by Mosaic's dot rule, measured
+# round 4; DEFAULT single-pass bf16 would break the 1e-4 oracle gate.)
 HP = jax.lax.Precision.HIGHEST
 # Instance-chunk width: the kernels' DMA granularity, the binning
 # layout's segment alignment, and the early-termination granularity.
@@ -354,16 +358,20 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
                 om = terms["om"]
                 pex = _exclusive_prod0(om, H, masks)   # T_g/T_sub_start
                 w = terms["alpha"] * (jnp.exp(s) * pex)  # exp: per PIXEL
-                rgb = rgb + jnp.dot(terms["colors"].T, w,
-                                    preferred_element_type=jnp.float32,
-                                    precision=HP)
-                dep = dep + jnp.dot(terms["depth"].T, w,
-                                    preferred_element_type=jnp.float32,
-                                    precision=HP)
-                if with_feat:   # static: absent features skip the matmul
-                    fea = fea + jnp.dot(terms["feat"].T, w,
-                                        preferred_element_type=jnp.float32,
-                                        precision=HP)
+                # ONE fused (4|7, H) @ (H, NPX) accumulation matmul for
+                # rgb + depth (+ feat), mirroring the backward's fused
+                # cotangent matmul — three separate dots paid the MXU
+                # setup latency thrice
+                lhs = [terms["colors"], terms["depth"]]
+                if with_feat:   # static: absent features skip the rows
+                    lhs.append(terms["feat"])
+                acc = jnp.dot(jnp.concatenate(lhs, axis=1).T, w,
+                              preferred_element_type=jnp.float32,
+                              precision=HP)
+                rgb = rgb + acc[0:3]
+                dep = dep + acc[3:4]
+                if with_feat:
+                    fea = fea + acc[4:7]
                 prod = pex[H - 1:H, :] * om[H - 1:H, :]
                 s2 = s + jnp.log(jnp.maximum(prod, PROD_FLOOR))
                 return s2, rgb, dep, fea

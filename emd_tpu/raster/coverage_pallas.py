@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 BLOCK = 1024
-MASK_BITS = 64
+from .binning import MASK_BITS  # noqa: E402  (width knob lives there)
 
 
 def _coverage_kernel(flt_ref, geo_ref, out_ref, *, tile_size: int):
