@@ -56,11 +56,12 @@ import jax.numpy as jnp
 ALPHA_EPS = 1.0 / 255.0   # compositor skip threshold (CUDA 3DGS semantics)
 MAX_SIGMA = 3.0           # hard cutoff in sigma units (CUDA 3DGS 3-sigma)
 # Per-gaussian coverage bitmask width. Gaussians whose bbox exceeds it
-# fall back to full-bbox binning. 32 measured ZERO instance growth on
-# the official street scene (gaussian bboxes are either <= 16 tiles or
-# already > 64), halves the Pallas coverage walk, and drops the mask_hi
-# row from the per-instance decode gather (5 -> 4 rows).
-MASK_BITS = int(__import__("os").environ.get("EMD_TPU_MASK_BITS", "32"))
+# fall back to full-bbox binning. 32 gives ZERO instance growth on the
+# official street scene, halves the Pallas coverage walk, and drops the
+# mask_hi row from the decode gather (5 -> 4 rows) — yet measured
+# SLOWER on chip (23.5 vs 23.9 Mpix/s, repeated): the narrower gather
+# hits a worse XLA path than the row it saves. 64 stands.
+MASK_BITS = int(__import__("os").environ.get("EMD_TPU_MASK_BITS", "64"))
 
 
 class Binning(NamedTuple):
