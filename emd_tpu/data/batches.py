@@ -137,6 +137,26 @@ class BatchSource:
             sky_mask=sky,
         )
 
+    def _ego_dev(self, c):
+        """Static per-camera ego-body mask at the current downscale,
+        device-cached (pixel_source.load_egocar_mask; excluded from
+        supervision in scene_loss_terms)."""
+        s = self.scene
+        if getattr(s, "ego_masks", None) is None:
+            return None
+        key = ("ego", self.downscale, c)
+        hit = self._dev_cache.get(key)
+        if hit is not None:
+            return hit
+        d = self.downscale
+        m = s.ego_masks[c]
+        if d > 1:
+            h, w = s.image_hw
+            m = m[::d, ::d][:h // d, :w // d]
+        dev = jnp.asarray(m.astype(np.float32))
+        self._dev_cache[key] = dev
+        return dev
+
     def scene_batch(self, f: int, c: int) -> SceneBatch:
         # the whole batch is static per (level, view): cache it on device
         # (every stray jnp.asarray of a scalar/K matrix is a separate
@@ -152,6 +172,7 @@ class BatchSource:
             frame_idx=jnp.asarray(f),
             img_idx=jnp.asarray(f * s.num_cams + c),
             dynamic_mask=dyn,
+            ego_mask=self._ego_dev(c),
             **kw)
         self._dev_cache[key] = batch
         return batch

@@ -61,6 +61,10 @@ class SceneData:
     features: list | None = None            # F x (C, Hp, Wp, 3) DINO-PCA
                                             # maps (S3 feat supervision,
                                             # dataset_readers.py:216-230)
+    ego_masks: np.ndarray | None = None     # (C, H, W) bool static
+                                            # per-camera ego-body masks
+                                            # (pixel_source.py:261-280);
+                                            # excluded from supervision
 
     @property
     def num_frames(self) -> int:
@@ -297,6 +301,20 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
     human = maybe_masks("human_masks")
     vehicle = maybe_masks("vehicle_masks")
 
+    # static per-camera ego-body masks: ego_masks/{cam}.png
+    # (pixel_source.load_egocar_mask reads data/ego_masks/<dataset>/
+    # <cam>.png; here they live in the scene dir). Pixels are EXCLUDED
+    # from supervision by scene_loss_terms.
+    ego = None
+    ego_dir = os.path.join(scene_dir, "ego_masks")
+    if os.path.isdir(ego_dir):
+        paths = [os.path.join(ego_dir, f"{c}.png") for c in cams]
+        if all(os.path.exists(p) for p in paths):
+            ego = np.stack([imread(p, gray=True) for p in paths]) > 127
+            if downscale > 1:
+                ego = ego[:, ::downscale, ::downscale]
+            ego = ego[:, :images.shape[2], :images.shape[3]]
+
     lidar_pts, lidar_org = None, None
     lidar_dir = os.path.join(scene_dir, "lidar")
     lpose_dir = os.path.join(scene_dir, "lidar_pose")
@@ -356,7 +374,7 @@ def load_scene(scene_dir: str, cams: list[int] | None = None,
                      sky_masks=sky, dynamic_masks=dyn,
                      human_masks=human, vehicle_masks=vehicle,
                      lidar_points=lidar_pts, lidar_origins=lidar_org,
-                     instances=instances, features=feats)
+                     instances=instances, features=feats, ego_masks=ego)
 
 
 def _sniff_lidar_width(raw: np.ndarray) -> int:

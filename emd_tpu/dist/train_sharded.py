@@ -65,6 +65,7 @@ class ShardedSceneBatch(NamedTuple):
     depth: jax.Array | None = None      # (B, H, W)
     sky_mask: jax.Array | None = None   # (B, H, W)
     dynamic_mask: jax.Array | None = None
+    ego_mask: jax.Array | None = None   # (B, H, W) per-camera ego body
 
 
 def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
@@ -217,7 +218,8 @@ def make_sharded_scene_loss(mesh: Mesh, cfg, width: int, height: int,
             img_idx=batch.img_idx[0],
             depth=_opt_none(batch.depth, 0),
             sky_mask=_opt_none(batch.sky_mask, 0),
-            dynamic_mask=_opt_none(batch.dynamic_mask, 0))
+            dynamic_mask=_opt_none(batch.dynamic_mask, 0),
+            ego_mask=_opt_none(batch.ego_mask, 0))
 
         def bg_gather(x):
             return jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
@@ -338,7 +340,8 @@ def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
         return new_params, new_opt, new_dstates, metrics
 
     def jit_step(params, saux=None, dstates=None, knn=None,
-                 has_depth=False, has_sky=False, has_dyn=False):
+                 has_depth=False, has_sky=False, has_dyn=False,
+                 has_ego=False):
         psh = param_shardings(params)
         opt_sh = AdamState(mu=psh, nu=psh, step=rep)
         a_sh = (jax.tree.map(lambda _: rep, saux)._replace(bg_alive=bg_sh)
@@ -350,7 +353,8 @@ def make_sharded_scene_step(mesh: Mesh, cfg, aux, width: int, height: int,
             K=0, viewmat=0, rgb=0, frame_idx=0, img_idx=0,
             depth=0 if has_depth else None,
             sky_mask=0 if has_sky else None,
-            dynamic_mask=0 if has_dyn else None)
+            dynamic_mask=0 if has_dyn else None,
+            ego_mask=0 if has_ego else None)
         batch_sh = jax.tree.map(lambda _: data_sh, batch_proto)
         return jax.jit(
             step,
@@ -536,7 +540,8 @@ def make_sharded_s3_step(mesh: Mesh, cfg, width: int, height: int,
 def sharded_scene_batch_from_source(source, n_data: int):
     """Assemble an n_data-camera ShardedSceneBatch from a BatchSource."""
     cols = {k: [] for k in ("K", "viewmat", "rgb", "frame_idx", "img_idx",
-                            "depth", "sky_mask", "dynamic_mask")}
+                            "depth", "sky_mask", "dynamic_mask",
+                            "ego_mask")}
     views = []
     for _ in range(n_data):
         vi, f, c, b = source.next_train("scene")
@@ -548,6 +553,7 @@ def sharded_scene_batch_from_source(source, n_data: int):
         cols["depth"].append(b.depth)
         cols["sky_mask"].append(b.sky_mask)
         cols["dynamic_mask"].append(b.dynamic_mask)
+        cols["ego_mask"].append(b.ego_mask)
         views.append(vi)
 
     def stack(xs):

@@ -104,6 +104,9 @@ class SceneBatch(NamedTuple):
     depth: jax.Array | None = None
     sky_mask: jax.Array | None = None
     dynamic_mask: jax.Array | None = None  # for dynamic-region upweight
+    ego_mask: jax.Array | None = None      # static per-camera ego-body
+                                           # mask; pixels EXCLUDED from
+                                           # supervision (base.py:527-537)
 
 
 class SceneTrainState(NamedTuple):
@@ -218,6 +221,15 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
     verbatim by the single-device step and the sharded step (parity by
     construction). `out` is a SceneRender; `knn` the cached KNN dict."""
     ld = {}
+    # ego-body exclusion: supervised quantities are multiplied by
+    # valid = 1 - ego_mask before every loss, exactly like the
+    # reference (base.py:527-537 valid_loss_mask)
+    pred_rgb, gt_rgb, alpha = out.rgb, batch.rgb, out.alpha
+    if batch.ego_mask is not None:
+        valid = 1.0 - batch.ego_mask.astype(jnp.float32)
+        pred_rgb = pred_rgb * valid[..., None]
+        gt_rgb = gt_rgb * valid[..., None]
+        alpha = alpha * valid
     # dynamic-region upweight (omnire.yaml dynamic_region)
     if (batch.dynamic_mask is not None
             and cfg.dynamic_region_factor > 1.0):
@@ -225,20 +237,28 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
             (step >= cfg.dynamic_region_start)
             & (batch.dynamic_mask > 0),
             cfg.dynamic_region_factor, 1.0)
-        err = jnp.abs(out.rgb - batch.rgb) * w_px[..., None]
+        err = jnp.abs(pred_rgb - gt_rgb) * w_px[..., None]
         ld["rgb"] = cfg.w_rgb * err.mean()
     else:
-        ld["rgb"] = cfg.w_rgb * losses.l1(out.rgb, batch.rgb)
-    ld["ssim"] = cfg.w_ssim * losses.ssim_loss(out.rgb, batch.rgb)
+        ld["rgb"] = cfg.w_rgb * losses.l1(pred_rgb, gt_rgb)
+    ld["ssim"] = cfg.w_ssim * losses.ssim_loss(pred_rgb, gt_rgb)
     if cfg.w_sky > 0 and batch.sky_mask is not None:
-        ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(
-            out.alpha, batch.sky_mask)
+        sky_gt = batch.sky_mask
+        if batch.ego_mask is not None:
+            # gt occupied = (1-sky)*valid, pred = alpha*valid
+            # (base.py:536-537); our sky loss takes the SKY mask, so
+            # fold valid into both sides: sky' s.t. 1-sky' = (1-sky)*v
+            sky_gt = 1.0 - (1.0 - batch.sky_mask) * valid
+        ld["sky"] = cfg.w_sky * losses.sky_opacity_loss(alpha, sky_gt)
     if cfg.w_depth > 0 and batch.depth is not None:
         # expected depth = accumulated/alpha, matching the reference's
         # gsplat render_mode='RGB+ED' supervision (base.py:393-408)
+        hit = batch.depth > 0
+        if batch.ego_mask is not None:
+            hit = hit & (batch.ego_mask == 0)       # base.py:556
         ld["depth"] = cfg.w_depth * losses.depth_loss(
             out.depth / jnp.maximum(out.alpha, 1e-3),
-            batch.depth, batch.depth > 0,
+            batch.depth, hit,
             inverse=cfg.depth_inverse)
     if cfg.w_entropy > 0:
         ld["entropy"] = cfg.w_entropy * losses.opacity_entropy(out.alpha)

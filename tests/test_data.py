@@ -1,5 +1,7 @@
 """Data pipeline: synthetic scene, disk roundtrip through the processed
 layout, seeding, depth projection, sampler, batches."""
+import os
+
 import numpy as np
 import pytest
 
@@ -423,3 +425,58 @@ def test_build_scene_params_with_real_smpl_asset(tmp_path, synth):
     q = np.asarray(params.smpl.rigid.gauss.quats)[:v.shape[0]]
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)
     assert aux.smpl_aux.template.rest_joints.shape[0] == 1
+
+
+def test_ego_mask_roundtrip_and_loss_exclusion(tmp_path, synth):
+    """Static per-camera ego-body masks (pixel_source.py:261-280) load
+    from ego_masks/{cam}.png and scene_loss_terms excludes the masked
+    pixels from rgb/ssim supervision (base.py:527-537)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from emd_tpu.data.batches import BatchSource
+    from emd_tpu.train.scene_trainer import SceneBatch, SceneTrainConfig, \
+        scene_loss_terms
+
+    scene, truth = synth
+    out = str(tmp_path / "scene")
+    write_scene_dir(scene, out, ego_poses=truth["ego"],
+                    cam2ego=truth["cam2ego"])
+    h, w = scene.image_hw
+    os.makedirs(os.path.join(out, "ego_masks"))
+    for c in range(scene.num_cams):
+        m = np.zeros((h, w), np.uint8)
+        m[h // 2:, :] = 255           # bottom half = ego hood
+        cv2.imwrite(os.path.join(out, "ego_masks", f"{c}.png"), m)
+    loaded = load_scene(out)
+    assert loaded.ego_masks is not None
+    assert loaded.ego_masks.shape == (scene.num_cams, h, w)
+    assert loaded.ego_masks[0, h - 1, 0] and not loaded.ego_masks[0, 0, 0]
+
+    src = BatchSource(loaded, test_stride=4)
+    b = src.scene_batch(0, 0)
+    assert b.ego_mask is not None and b.ego_mask.shape == (h, w)
+
+    # corrupt the GT in the masked region only: with the mask the rgb
+    # term must ignore it; without it the loss must grow
+    from emd_tpu.data import build_scene_params
+    from emd_tpu.scene import SceneConfig, render_scene
+
+    params, aux = build_scene_params(loaded, n_lidar=300, n_random=100,
+                                     sky_resolution=16)
+    cfg = SceneTrainConfig(scene=SceneConfig(budget=1 << 14,
+                                             interpret=True))
+    out_r = render_scene(params, aux, cfg.scene, b.camera, b.frame_idx,
+                         b.img_idx, jnp.asarray(0))
+    bad = np.array(loaded.images[0, 0])
+    bad[h // 2:, :] = 1.0 - bad[h // 2:, :]
+    step = jnp.asarray(0)
+    base = dict(camera=b.camera, rgb=jnp.asarray(bad),
+                frame_idx=b.frame_idx, img_idx=b.img_idx)
+    ld_mask = scene_loss_terms(out_r, SceneBatch(
+        ego_mask=b.ego_mask, **base), params, aux, None, step, cfg)
+    ld_nomask = scene_loss_terms(out_r, SceneBatch(**base),
+                                 params, aux, None, step, cfg)
+    # the corrupted bottom half dominates the unmasked loss
+    assert float(ld_mask["rgb"]) < 0.7 * float(ld_nomask["rgb"])
+    assert float(ld_mask["ssim"]) < float(ld_nomask["ssim"])
