@@ -471,6 +471,11 @@ def main():
     ap.add_argument("--json_out",
                     default="docs/self_consistency_r04_metrics.json")
     ap.add_argument("--test_stride", type=int, default=8)
+    ap.add_argument("--reg_scale", type=float, default=1.0,
+                    help="multiply the temporal/KNN anti-overfit regs "
+                         "(rigid temporal smoothness, embedding-KNN, "
+                         "SMPL joint smoothness + KNN consistency) — "
+                         "the lever the oracle-pose analysis points at")
     args = ap.parse_args()
 
     from emd_tpu.data.seeding import build_scene_params
@@ -494,7 +499,15 @@ def main():
     scene = to_scene_data(params, aux, meta, images, sky_masks, veh_masks,
                           hum_masks, cyc_masks)
 
+    r = args.reg_scale
     cfg = SceneTrainConfig(scene=SceneConfig(budget=args.budget))
+    if r != 1.0:
+        import dataclasses as _dc
+        cfg = _dc.replace(
+            cfg, w_rigid_temporal=cfg.w_rigid_temporal * r,
+            w_embedding_knn=cfg.w_embedding_knn * r,
+            w_smpl_joint_smooth=cfg.w_smpl_joint_smooth * r,
+            w_smpl_knn=cfg.w_smpl_knn * r)
     loop = LoopConfig(max_steps=args.steps, refine_start=500,
                       refine_interval=400, refine_stop=args.steps * 3 // 4,
                       reset_opacity_interval=args.steps // 3,
