@@ -537,6 +537,30 @@ def make_sharded_s3_step(mesh: Mesh, cfg, width: int, height: int,
     return jit_step, param_shardings
 
 
+def sharded_s3_batch_from_source(source, n_data: int):
+    """Assemble an n_data-camera ShardedS3Batch from a BatchSource."""
+    cols = {k: [] for k in ("K", "viewmat", "rgb", "t", "cam_no",
+                            "depth", "sky_mask", "feat")}
+    views = []
+    for _ in range(n_data):
+        vi, f, c, b = source.next_train("s3")
+        cols["K"].append(b.camera.K)
+        cols["viewmat"].append(b.camera.viewmat)
+        cols["rgb"].append(b.rgb)
+        cols["t"].append(b.t)
+        cols["cam_no"].append(b.cam_no)
+        cols["depth"].append(b.depth)
+        cols["sky_mask"].append(b.sky_mask)
+        cols["feat"].append(b.feat)
+        views.append(vi)
+
+    def stack(xs):
+        return None if xs[0] is None else jnp.stack(xs)
+
+    return ShardedS3Batch(
+        **{k: stack(v) for k, v in cols.items()}), views
+
+
 def sharded_scene_batch_from_source(source, n_data: int):
     """Assemble an n_data-camera ShardedSceneBatch from a BatchSource."""
     cols = {k: [] for k in ("K", "viewmat", "rgb", "frame_idx", "img_idx",

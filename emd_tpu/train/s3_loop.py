@@ -56,6 +56,35 @@ class S3LoopConfig:
     grow_displacement: float = 0.2     # jitter scale * knn distance
 
 
+def _refine_s3(state: S3TrainState, key, spatial_scale, logger, step):
+    """One densify/prune pass — shared by the single-device and sharded
+    loops. Densifies (gauss ++ embeddings) together so children inherit
+    their parent's motion embedding (the reference carries _embedding
+    through densification, gaussian_model.py:479-556)."""
+    key, sub = jax.random.split(key)
+    combined = (state.params.gauss, state.params.embeddings)
+    opt_c = AdamState(
+        mu=(state.opt.mu.gauss, state.opt.mu.embeddings),
+        nu=(state.opt.nu.gauss, state.opt.nu.embeddings),
+        step=state.opt.step)
+    out = refine(sub, combined, state.alive, opt_c, state.dstate,
+                 DensifyConfig(), spatial_scale)
+    gauss, emb = out.params
+    state = state._replace(
+        params=state.params._replace(gauss=gauss, embeddings=emb),
+        opt=state.opt._replace(
+            mu=state.opt.mu._replace(gauss=out.opt.mu[0],
+                                     embeddings=out.opt.mu[1]),
+            nu=state.opt.nu._replace(gauss=out.opt.nu[0],
+                                     embeddings=out.opt.nu[1])),
+        alive=out.alive, dstate=out.dstate)
+    stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
+                            jnp.sum(out.alive)))
+    logger.info("refine@%d: split %d dup %d culled %d alive %d",
+                step, *map(int, stats))
+    return state, key
+
+
 def _gauss_opt(state: S3TrainState) -> AdamState:
     return AdamState(mu=state.opt.mu.gauss, nu=state.opt.nu.gauss,
                      step=state.opt.step)
@@ -72,7 +101,7 @@ def _set_gauss(state: S3TrainState, gauss, opt_g, alive, dstate):
 
 def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
            loop: S3LoopConfig = S3LoopConfig(), params_alive=None,
-           spatial_scale: float | None = None) -> S3TrainState:
+           spatial_scale: float | None = None, mesh=None) -> S3TrainState:
     from ..data.batches import BatchSource
     from ..data.seeding import seed_background
     from ..motion.hexplane import set_aabb
@@ -118,6 +147,10 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
     metrics_log = MetricLogger(out_dir)
     key = jax.random.PRNGKey(loop.seed)
 
+    if mesh is not None:
+        return _fit_s3_sharded(out_dir, cfg, loop, state, spatial_scale,
+                               source, metrics_log, key, mesh, logger)
+
     for step in range(loop.max_steps):
         if every_interval(step, loop.knn_refresh_interval):
             idx, w = knn_graph(np.asarray(state.params.gauss.means),
@@ -137,30 +170,8 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
 
         if (loop.refine_start <= step < loop.refine_stop
                 and every_interval(step, loop.refine_interval)):
-            key, sub = jax.random.split(key)
-            # densify (gauss ++ embeddings) together so children inherit
-            # their parent's motion embedding (the reference carries
-            # _embedding through densification, gaussian_model.py:479-556)
-            combined = (state.params.gauss, state.params.embeddings)
-            opt_c = AdamState(
-                mu=(state.opt.mu.gauss, state.opt.mu.embeddings),
-                nu=(state.opt.nu.gauss, state.opt.nu.embeddings),
-                step=state.opt.step)
-            out = refine(sub, combined, state.alive, opt_c, state.dstate,
-                         DensifyConfig(), spatial_scale)
-            gauss, emb = out.params
-            state = state._replace(
-                params=state.params._replace(gauss=gauss, embeddings=emb),
-                opt=state.opt._replace(
-                    mu=state.opt.mu._replace(gauss=out.opt.mu[0],
-                                             embeddings=out.opt.mu[1]),
-                    nu=state.opt.nu._replace(gauss=out.opt.nu[0],
-                                             embeddings=out.opt.nu[1])),
-                alive=out.alive, dstate=out.dstate)
-            stats = jax.device_get((out.n_split, out.n_dup, out.n_culled,
-                                    jnp.sum(out.alive)))
-            logger.info("refine@%d: split %d dup %d culled %d alive %d",
-                        step, *map(int, stats))
+            state, key = _refine_s3(state, key, spatial_scale, logger,
+                                    step)
 
         if (0 < step < loop.refine_stop
                 and every_interval(step, loop.reset_opacity_interval)):
@@ -170,6 +181,87 @@ def fit_s3(scene, out_dir: str, cfg: S3TrainConfig | None = None,
         if (loop.grow_interval > 0 and step >= loop.grow_start
                 and every_interval(step, loop.grow_interval)):
             state = grow_points(state, loop, occ, logger, step)
+
+        if every_interval(step, loop.log_interval):
+            logger.info(metrics_log.line(step, loop.max_steps))
+            metrics_log.dump(step)
+        if step > 0 and every_interval(step, loop.ckpt_interval):
+            save_checkpoint(os.path.join(out_dir, f"ckpt_{step:06d}.npz"),
+                            (state.params, state.alive, state.step))
+
+    save_checkpoint(os.path.join(out_dir, "ckpt_final.npz"),
+                    (state.params, state.alive, state.step))
+    return state
+
+
+def _fit_s3_sharded(out_dir, cfg: S3TrainConfig, loop: S3LoopConfig,
+                    state: S3TrainState, spatial_scale, source,
+                    metrics_log, key, mesh, logger) -> S3TrainState:
+    """Multi-device S3 loop at parity with the single-device one: the
+    sharded step (dist.train_sharded.make_sharded_s3_step — same
+    render_s3 + s3_loss_terms), KNN refresh on the gathered-view means,
+    the SAME _refine_s3 body (jitted ops on the globally-sharded
+    arrays; GSPMD handles the layout), opacity reset, checkpointing.
+    Trains mesh.shape["data"] cameras per iteration; the coarse->fine
+    stage switch retraces the step like any static-signature change."""
+    from ..dist.train_sharded import (make_sharded_s3_step,
+                                      sharded_s3_batch_from_source)
+
+    n_data = mesh.shape["data"]
+    h, w = source.scene.image_hw
+    d = source.downscale
+    width, height = w // d, h // d
+    logger.info("sharded S3 loop: mesh %s, %d cameras/step",
+                dict(mesh.shape), n_data)
+    probe = source.next_train("s3")[3]
+    has = dict(has_depth=probe.depth is not None,
+               has_sky=probe.sky_mask is not None,
+               has_feat=probe.feat is not None)
+
+    step_fn = None
+    step_sig = None
+    for step in range(loop.max_steps):
+        if every_interval(step, loop.knn_refresh_interval):
+            idx, wk = knn_graph(np.asarray(state.params.gauss.means),
+                                np.asarray(state.alive), k=8)
+            state = state._replace(knn=(jnp.asarray(idx),
+                                        jnp.asarray(wk)))
+
+        fine = step >= loop.coarse_iters
+        sig = (fine, jax.tree.structure(state.knn))
+        if step_fn is None or sig != step_sig:
+            jit_step, _ = make_sharded_s3_step(
+                mesh, cfg, width, height, spatial_scale,
+                fine_stage=fine)
+            step_fn = jit_step(state.params, state.knn, **has)
+            step_sig = sig
+
+        batch, views = sharded_s3_batch_from_source(source, n_data)
+        params, opt, dstate, m = step_fn(
+            state.params, state.alive, state.opt, state.dstate,
+            state.knn, batch, jnp.asarray(step, jnp.int32))
+        state = state._replace(params=params, opt=opt, dstate=dstate,
+                               step=jnp.asarray(step + 1))
+        m = jax.device_get(m)
+        if not np.isfinite(m["loss"]):
+            raise FloatingPointError(f"non-finite loss at step {step}")
+        for vi in views:
+            source.report_error(vi, float(m.get("rgb", m["loss"])))
+        metrics_log.update(loss=m["loss"], psnr=m["psnr"])
+        if bool(m["overflow"]):
+            logger.warning("step %d: instance budget overflow", step)
+
+        if (loop.refine_start <= step < loop.refine_stop
+                and every_interval(step, loop.refine_interval)):
+            state, key = _refine_s3(state, key, spatial_scale, logger,
+                                    step)
+
+        if (0 < step < loop.refine_stop
+                and every_interval(step, loop.reset_opacity_interval)):
+            g, opt_g = reset_opacity(state.params.gauss,
+                                     _gauss_opt(state))
+            state = _set_gauss(state, g, opt_g, state.alive,
+                               state.dstate)
 
         if every_interval(step, loop.log_interval):
             logger.info(metrics_log.line(step, loop.max_steps))

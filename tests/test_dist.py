@@ -445,3 +445,34 @@ def test_sharded_scene_training_converges():
     assert int(dstates["background"].count.max()) > 0
     assert float(dstates["background"].max_radii.max()) > 0
     assert float(dstates["rigid"].grad_accum.max()) > 0
+
+
+def test_sharded_s3_loop_two_stage(tmp_path):
+    """The S3 LOOP on the virtual mesh (fit_s3(mesh=...)): seeds from a
+    synthetic scene, crosses the coarse->fine stage switch (a step-fn
+    retrace), refines through the shared _refine_s3 body, and finishes
+    with finite sharded state."""
+    from emd_tpu.data import make_synthetic_scene
+    from emd_tpu.dist import make_mesh
+    from emd_tpu.train.s3_loop import S3LoopConfig, fit_s3
+    from emd_tpu.train.s3_trainer import S3TrainConfig
+
+    scene, _ = make_synthetic_scene(n_frames=4, n_cams=1, width=48,
+                                    height=32, n_lidar=600)
+    mesh = make_mesh(n_data=4, n_gauss=2)
+    cfg = S3TrainConfig(budget=1 << 15, interpret=True)
+    loop = S3LoopConfig(coarse_iters=3, max_steps=8, refine_start=2,
+                        refine_interval=4, refine_stop=100,
+                        reset_opacity_interval=100,
+                        knn_refresh_interval=4, log_interval=4,
+                        ckpt_interval=10 ** 9, num_init_pts=600,
+                        test_stride=4)
+    state = fit_s3(scene, str(tmp_path / "s3sharded"), cfg=cfg,
+                   loop=loop, mesh=mesh)
+    assert bool(jnp.all(jnp.isfinite(state.params.gauss.means)))
+    assert bool(jnp.all(jnp.isfinite(
+        jnp.concatenate([x.ravel() for x in
+                         jax.tree.leaves(state.params.field)]))))
+    assert int(state.step) == 8
+    log = (tmp_path / "s3sharded" / "train.log").read_text()
+    assert "sharded S3 loop" in log and "refine@" in log
