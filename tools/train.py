@@ -125,7 +125,12 @@ def main():
             reset_opacity_interval=max(100, args.steps // 10),
             seed=args.seed,
         )
-        fit_s3(scene, args.out, s3cfg, s3loop)
+        s3_mesh = None
+        if args.data_parallel > 0:
+            from emd_tpu.dist import make_mesh
+            s3_mesh = make_mesh(n_data=args.data_parallel,
+                                n_gauss=args.gauss_parallel)
+        fit_s3(scene, args.out, s3cfg, s3loop, mesh=s3_mesh)
         return
 
     if args.flavor == "single":
