@@ -16,19 +16,28 @@ import time
 def setup_logging(out_dir: str | None = None, name: str = "emd_tpu"
                   ) -> logging.Logger:
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s",
                             "%H:%M:%S")
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(out_dir, "train.log"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        # one file handler per CURRENT run dir: multi-run tools (e.g.
+        # the EMD ablation's two trainings) each get their own
+        # train.log instead of appending to the first run's
+        path = os.path.abspath(os.path.join(out_dir, "train.log"))
+        current = [h for h in logger.handlers
+                   if isinstance(h, logging.FileHandler)]
+        if not any(h.baseFilename == path for h in current):
+            for h in current:
+                logger.removeHandler(h)
+                h.close()
+            os.makedirs(out_dir, exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 

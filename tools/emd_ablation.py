@@ -44,6 +44,16 @@ def main():
                     help="vehicle: wobbled rigid track (EMD rigid heads); "
                          "smpl: wobbled pedestrian body joints (per-joint "
                          "EMD yaw heads, reference smpl.py:401-436)")
+    ap.add_argument("--smpl_smooth", type=float, default=0.1,
+                    help="w_smpl_joint_smooth for BOTH runs in smpl "
+                         "mode. The default 0.01 lets the per-frame "
+                         "body quats absorb the wobble before the EMD "
+                         "heads see any residual (measured: EMD-on "
+                         "-0.24 dB, a null result); a strong smoothness "
+                         "reg penalizes per-frame jitter but NOT the "
+                         "EMD offsets — the same division of labor the "
+                         "rigid track's w_rigid_temporal=0.1 gives "
+                         "vehicles")
     ap.add_argument("--budget", type=int, default=1 << 20)
     ap.add_argument("--out", default="out/emd_ablation")
     ap.add_argument("--json_out", default="docs/emd_ablation_r03_metrics.json")
@@ -83,6 +93,9 @@ def main():
         cfg = SceneTrainConfig(scene=SceneConfig(
             budget=args.budget, rigid=rigid_cfg,
             smpl=SmplConfig(rigid=rigid_cfg)))
+        if smpl_mode:
+            cfg = dataclasses.replace(
+                cfg, w_smpl_joint_smooth=args.smpl_smooth)
         loop = LoopConfig(
             max_steps=args.steps, refine_start=500, refine_interval=400,
             refine_stop=args.steps * 3 // 4,
