@@ -43,6 +43,9 @@ class SceneTrainConfig:
     w_sky: float = 0.05
     w_depth: float = 0.1
     depth_inverse: bool = True
+    # optional exponential decay of the lidar depth weight
+    # (base.py:559-563 lidar_w_decay; <= 0 disables, the defaults)
+    depth_lidar_w_decay: float = -1.0
     w_entropy: float = 0.05
     w_smooth: float = 0.001
     dynamic_region_factor: float = 5.0
@@ -256,7 +259,11 @@ def scene_loss_terms(out, batch: SceneBatch, params: SceneParams,
         hit = batch.depth > 0
         if batch.ego_mask is not None:
             hit = hit & (batch.ego_mask == 0)       # base.py:556
-        ld["depth"] = cfg.w_depth * losses.depth_loss(
+        w_d = cfg.w_depth
+        if cfg.depth_lidar_w_decay > 0:             # base.py:559-563
+            w_d = w_d * jnp.exp(-step / 8000.0
+                                * cfg.depth_lidar_w_decay)
+        ld["depth"] = w_d * losses.depth_loss(
             out.depth / jnp.maximum(out.alpha, 1e-3),
             batch.depth, hit,
             inverse=cfg.depth_inverse)
