@@ -111,6 +111,55 @@ def chain_steps(step_fn, state, batch, iters):
     return (time.time() - t0) / iters
 
 
+def main_s3(iters: int = 8):
+    """S3-flavor step throughput: 500k gaussians + hexplane deformation
+    field (fine stage) + the full S3 loss suite + Adam, 1080p."""
+    _enable_cache()
+    from bench import _street_gaussians
+    from emd_tpu.core import make_camera
+    from emd_tpu.motion import S3FieldConfig, create_s3_field, set_aabb
+    from emd_tpu.scene import SkyCubemap
+    from emd_tpu.train import S3Batch, S3Params, S3TrainConfig
+    from emd_tpu.train.s3_trainer import (create_s3_train_state,
+                                          s3_train_step)
+
+    width, height = 1920, 1080
+    n = 500_000
+    gauss, alive = _street_gaussians(n)
+    fcfg = S3FieldConfig(sh_bases=16, n_cams=3)
+    field = create_s3_field(jax.random.PRNGKey(0), fcfg)
+    field = field._replace(hexplane=set_aabb(
+        field.hexplane, [-40, -15, 0], [40, 15, 90]))
+    params = S3Params(
+        gauss=gauss,
+        embeddings=jnp.zeros((n, fcfg.gaussian_embedding_dim)),
+        field=field, sky=SkyCubemap.create(128))
+    cfg = S3TrainConfig(field=fcfg, budget=19 << 16)
+    state = create_s3_train_state(params, alive)
+    cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
+                      width, height)
+    key = jax.random.PRNGKey(7)
+    batch = S3Batch(
+        camera=cam, rgb=jax.random.uniform(key, (height, width, 3)),
+        t=jnp.asarray(0.4), cam_no=jnp.asarray(0),
+        depth=1.0 + 60.0 * jax.random.uniform(key, (height, width)),
+        sky_mask=(jax.random.uniform(key, (height, width)) > 0.7
+                  ).astype(jnp.float32))
+
+    def step_fn(s, b):
+        return s3_train_step(s, b, cfg, 60.0, True)
+
+    dt = chain_steps(step_fn, state, batch, iters=iters)
+    pix_s = width * height / dt
+    print(f"full S3 fine-stage train step: {dt * 1e3:.1f} ms")
+    print(json.dumps({
+        "metric": "s3_train_step_pixels_per_second_1080p_500k",
+        "value": round(pix_s, 1),
+        "unit": "pixels/s/chip",
+        "step_ms": round(dt * 1e3, 2),
+    }))
+
+
 def main():
     _enable_cache()
     from emd_tpu.core import make_camera
@@ -167,4 +216,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--flavor" in sys.argv and "s3" in sys.argv:
+        main_s3()
+    else:
+        main()
