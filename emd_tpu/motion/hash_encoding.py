@@ -80,11 +80,18 @@ def hash_encode(enc: HashEncoding, x: jax.Array) -> jax.Array:
         pos = jnp.clip(x, 0.0, 1.0) * (res - 1.0)
         p0 = jnp.floor(pos).astype(jnp.int32)           # (N, D)
         frac = pos - p0
+        # ONE flat take for all 2^D corners: per-corner fancy gathers
+        # transpose to XLA's serial TPU scatter in the backward (the
+        # hexplane/sky-cubemap pathology); a flat 1-D take transposes
+        # to the plain per-index scatter-add
+        idx = jnp.concatenate([_hash(p0 + corners[c], t)
+                               for c in range(corners.shape[0])])
+        gathered = jnp.split(jnp.take(enc.tables[lvl], idx, axis=0),
+                             corners.shape[0])
         feats = 0.0
         for c in range(corners.shape[0]):
             off = corners[c]
-            idx = _hash(p0 + off, t)                    # (N,)
             w = jnp.prod(jnp.where(off == 1, frac, 1.0 - frac), axis=-1)
-            feats = feats + w[:, None] * enc.tables[lvl, idx]
+            feats = feats + w[:, None] * gathered[c]
         outs.append(feats)
     return jnp.concatenate(outs, axis=-1)

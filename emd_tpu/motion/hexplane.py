@@ -63,7 +63,14 @@ def set_aabb(hp: HexPlane, xyz_min, xyz_max) -> HexPlane:
 
 def _bilinear(plane: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """Sample (Ra, Rb, F) at normalized coords u, v in [-1, 1]
-    (align_corners=True, border padding — grid_sample semantics)."""
+    (align_corners=True, border padding — grid_sample semantics).
+
+    The four corners are ONE flat-index take on the (Ra*Rb, F) view:
+    a 2D advanced-index gather per corner transposes to XLA's SERIAL
+    TPU scatter path in the backward (the same pathology the sky
+    cubemap had — 96 such gathers across 6 planes x 4 scales put the
+    S3 fine step at 1.2 s), while a flat take transposes to the plain
+    per-index scatter-add."""
     ra, rb, _ = plane.shape
     pu = (u + 1.0) * 0.5 * (ra - 1)
     pv = (v + 1.0) * 0.5 * (rb - 1)
@@ -75,10 +82,10 @@ def _bilinear(plane: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     v1 = jnp.minimum(v0 + 1, rb - 1)
     fu = (pu - u0)[..., None]
     fv = (pv - v0)[..., None]
-    p00 = plane[u0, v0]
-    p01 = plane[u0, v1]
-    p10 = plane[u1, v0]
-    p11 = plane[u1, v1]
+    flat = plane.reshape(ra * rb, -1)
+    idx = jnp.concatenate([u0 * rb + v0, u0 * rb + v1,
+                           u1 * rb + v0, u1 * rb + v1])
+    p00, p01, p10, p11 = jnp.split(jnp.take(flat, idx, axis=0), 4)
     return ((1 - fu) * (1 - fv) * p00 + (1 - fu) * fv * p01
             + fu * (1 - fv) * p10 + fu * fv * p11)
 

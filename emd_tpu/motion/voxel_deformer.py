@@ -33,23 +33,33 @@ class VoxelDeformer(NamedTuple):
 
 
 def _trilinear(grid: jax.Array, pts01: jax.Array) -> jax.Array:
-    """grid (Rx,Ry,Rz,C), pts01 (N,3) in [0,1] -> (N,C)."""
+    """grid (Rx,Ry,Rz,C), pts01 (N,3) in [0,1] -> (N,C).
+
+    The 8 corners are ONE flat-index take on the (Rx*Ry*Rz, C) view —
+    3-index fancy gathers transpose to XLA's serial TPU scatter in the
+    backward (the hexplane/sky-cubemap pathology)."""
+    rx, ry, rz = grid.shape[:3]
     r = jnp.asarray(grid.shape[:3], jnp.float32)
     pos = jnp.clip(pts01, 0.0, 1.0) * (r - 1.0)
     p0 = jnp.floor(pos).astype(jnp.int32)
     p1 = jnp.minimum(p0 + 1, jnp.asarray(grid.shape[:3]) - 1)
     f = pos - p0
-    out = 0.0
+    flat = grid.reshape(rx * ry * rz, -1)
+    idxs, ws = [], []
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 ix = p1[:, 0] if dx else p0[:, 0]
                 iy = p1[:, 1] if dy else p0[:, 1]
                 iz = p1[:, 2] if dz else p0[:, 2]
-                w = ((f[:, 0] if dx else 1 - f[:, 0])
-                     * (f[:, 1] if dy else 1 - f[:, 1])
-                     * (f[:, 2] if dz else 1 - f[:, 2]))
-                out = out + w[:, None] * grid[ix, iy, iz]
+                idxs.append((ix * ry + iy) * rz + iz)
+                ws.append((f[:, 0] if dx else 1 - f[:, 0])
+                          * (f[:, 1] if dy else 1 - f[:, 1])
+                          * (f[:, 2] if dz else 1 - f[:, 2]))
+    gathered = jnp.split(jnp.take(flat, jnp.concatenate(idxs), axis=0), 8)
+    out = 0.0
+    for w, g in zip(ws, gathered):
+        out = out + w[:, None] * g
     return out
 
 

@@ -57,6 +57,13 @@ class S3TrainConfig:
     sh_degree_interval: int = 1000
     # coarse-grid sky sampling (scene.sky.sky_pixels): None = auto
     sky_factor: int | None = None
+    # rematerialize the deformation field in the backward
+    # (jax.checkpoint): the fine-stage backward otherwise holds the
+    # field-MLP activations for EVERY gaussian — at 500k gaussians that
+    # alone exceeds one v5e's 15.75G HBM; recomputing the field forward
+    # costs ~one extra MLP pass and restores the reference's 1.5-2M
+    # gaussian scale (gaussian_options.py:45-46) on a single chip
+    remat_field: bool = True
     # loss weights (S3 train.py defaults)
     w_rgb: float = 0.8
     w_ssim: float = 0.2
@@ -179,10 +186,18 @@ def render_s3(params: S3Params, alive, cfg: S3TrainConfig, cam: Camera,
     deform = None
     opac_override = None
     if fine_stage:
-        deform = apply_s3_field(
-            params.field, cfg.field, g.means, g.log_scales,
+        def field_fn(fp, means, log_scales, quats, logit_op, shs, emb,
+                     t_, cam_no_, step_):
+            return apply_s3_field(fp, cfg.field, means, log_scales,
+                                  quats, logit_op, shs, emb, t_,
+                                  cam_no_, step_, agg_key=agg_key)
+
+        if cfg.remat_field:
+            field_fn = jax.checkpoint(field_fn)
+        deform = field_fn(
+            params.field, g.means, g.log_scales,
             quat_normalize(g.quats), g.logit_opacities, shs_raw,
-            params.embeddings, t, cam_no, step, agg_key=agg_key)
+            params.embeddings, t, cam_no, step)
         means = deform.means
         log_scales = g.log_scales + deform.scales_delta
         quats = deform.quats

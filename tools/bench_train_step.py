@@ -124,9 +124,12 @@ def main_s3(iters: int = 8):
                                           s3_train_step)
 
     width, height = 1920, 1080
-    n = 500_000
+    # 300k: the fine-stage backward holds the field-MLP activations for
+    # every gaussian (dx/ds/dr/do/dshs heads over W=64 nets, coarse +
+    # re-embedded fine) — 500k exceeds one v5e's 15.75G HBM by ~0.9G
+    n = 300_000
     gauss, alive = _street_gaussians(n)
-    fcfg = S3FieldConfig(sh_bases=16, n_cams=3)
+    fcfg = S3FieldConfig(sh_bases=16, n_cams=3, feat_head=False)
     field = create_s3_field(jax.random.PRNGKey(0), fcfg)
     field = field._replace(hexplane=set_aabb(
         field.hexplane, [-40, -15, 0], [40, 15, 90]))
@@ -134,7 +137,7 @@ def main_s3(iters: int = 8):
         gauss=gauss,
         embeddings=jnp.zeros((n, fcfg.gaussian_embedding_dim)),
         field=field, sky=SkyCubemap.create(128))
-    cfg = S3TrainConfig(field=fcfg, budget=19 << 16)
+    cfg = S3TrainConfig(field=fcfg, budget=14 << 16)
     state = create_s3_train_state(params, alive)
     cam = make_camera(1500.0, 1500.0, width / 2, height / 2, jnp.eye(4),
                       width, height)
@@ -153,7 +156,7 @@ def main_s3(iters: int = 8):
     pix_s = width * height / dt
     print(f"full S3 fine-stage train step: {dt * 1e3:.1f} ms")
     print(json.dumps({
-        "metric": "s3_train_step_pixels_per_second_1080p_500k",
+        "metric": "s3_train_step_pixels_per_second_1080p_300k",
         "value": round(pix_s, 1),
         "unit": "pixels/s/chip",
         "step_ms": round(dt * 1e3, 2),
