@@ -86,7 +86,8 @@ def hash_encode(enc: HashEncoding, x: jax.Array) -> jax.Array:
         # to the plain per-index scatter-add
         idx = jnp.concatenate([_hash(p0 + corners[c], t)
                                for c in range(corners.shape[0])])
-        gathered = jnp.split(jnp.take(enc.tables[lvl], idx, axis=0),
+        gathered = jnp.split(jnp.take(enc.tables[lvl], idx, axis=0,
+                                      mode="clip"),
                              corners.shape[0])
         feats = 0.0
         for c in range(corners.shape[0]):

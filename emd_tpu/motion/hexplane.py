@@ -85,7 +85,8 @@ def _bilinear(plane: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     flat = plane.reshape(ra * rb, -1)
     idx = jnp.concatenate([u0 * rb + v0, u0 * rb + v1,
                            u1 * rb + v0, u1 * rb + v1])
-    p00, p01, p10, p11 = jnp.split(jnp.take(flat, idx, axis=0), 4)
+    p00, p01, p10, p11 = jnp.split(
+        jnp.take(flat, idx, axis=0, mode="clip"), 4)
     return ((1 - fu) * (1 - fv) * p00 + (1 - fu) * fv * p01
             + fu * (1 - fv) * p10 + fu * fv * p11)
 

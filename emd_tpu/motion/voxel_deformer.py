@@ -56,7 +56,8 @@ def _trilinear(grid: jax.Array, pts01: jax.Array) -> jax.Array:
                 ws.append((f[:, 0] if dx else 1 - f[:, 0])
                           * (f[:, 1] if dy else 1 - f[:, 1])
                           * (f[:, 2] if dz else 1 - f[:, 2]))
-    gathered = jnp.split(jnp.take(flat, jnp.concatenate(idxs), axis=0), 8)
+    gathered = jnp.split(jnp.take(flat, jnp.concatenate(idxs), axis=0,
+                                  mode="clip"), 8)
     out = 0.0
     for w, g in zip(ws, gathered):
         out = out + w[:, None] * g
