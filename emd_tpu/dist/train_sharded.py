@@ -114,7 +114,7 @@ def make_sharded_loss(mesh: Mesh, cfg: TrainConfig, width: int, height: int,
         tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty,
                                 interpret, with_feat=False)
         rgb, depth, alpha, _ = tiles_to_image(tiles, ntx, nty, width,
-                                              height)
+                                              height, interpret)
 
         loss = (cfg.w_rgb * losses.l1(rgb, batch.rgb[0])
                 + cfg.w_ssim * losses.ssim_loss(rgb, batch.rgb[0]))

@@ -61,7 +61,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 32          # pixel tile edge -> 1024 px per tile
+# Pixel tile edge. Compositor pair-work scales with instances * TILE^2
+# while binning/expand scale with the instance count, which GROWS as
+# tiles shrink — the optimum depends on the gaussian footprint
+# distribution (small splats favour smaller tiles). Env-overridable for
+# hardware A/B; see BENCH_NOTES round 4 for the measured 16-vs-32 sweep.
+TILE = int(__import__("os").environ.get("EMD_TPU_TILE", "32"))
 NPX = TILE * TILE
 ROWS_BASE = 10     # packed rows without features (means2d..depth)
 ROWS_FEAT = 13     # packed rows with the 3 feature channels
@@ -748,10 +753,18 @@ composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 
 
 def tiles_to_image(tiles: jax.Array, ntx: int, nty: int,
-                   width: int, height: int):
-    """(n_tiles, 8, 1024) -> rgb (H, W, 3), depth (H, W), alpha (H, W)."""
-    t = tiles.reshape(nty, ntx, 8, TILE, TILE)
-    t = jnp.transpose(t, (2, 0, 3, 1, 4)).reshape(8, nty * TILE, ntx * TILE)
+                   width: int, height: int, interpret: bool | None = None):
+    """(n_tiles, 8, 1024) -> rgb (H, W, 3), depth (H, W), alpha (H, W).
+
+    The tile->plane permutation runs as the Pallas retile kernel (an XLA
+    transpose measured 5.8-6.3 ms per direction at 1080p — see
+    retile_pallas.py); the remaining channel slices/transposes fuse into
+    their elementwise consumers."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    from .retile_pallas import tiles_to_planes
+
+    t = tiles_to_planes(tiles, ntx, nty, interpret)
     rgb = jnp.transpose(t[0:3, :height, :width], (1, 2, 0))
     depth = t[3, :height, :width]
     # channel 4 is final log-transmittance s; converting outside the kernel

@@ -184,6 +184,6 @@ def rasterize(
     tiles = composite_tiles(inst, binning.tile_offsets, ntx, nty, interpret,
                             features is not None)
     rgb, depth, alpha, feat = tiles_to_image(tiles, ntx, nty, cam.width,
-                                             cam.height)
+                                             cam.height, interpret)
     return RasterOut(rgb=rgb, depth=depth, alpha=alpha, feat=feat,
                      proj=proj, binning=binning)
