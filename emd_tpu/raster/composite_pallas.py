@@ -427,6 +427,19 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
     gdep = gout_ref[0, 3:4, :]       # (1, NPX)
     gs = gout_ref[0, 4:5, :]         # (1, NPX) cotangent of log-transmit s
     gfea = gout_ref[0, 5:8, :]       # (3, NPX)
+    # per-tile constants of the moment-basis matmul, hoisted out of the
+    # reverse chunk loop (they only depend on the tile): the (6, NPX)
+    # basis in TILE-LOCAL coordinates and the fused rgb+depth(+feat)
+    # cotangent matrix.
+    px0 = (t % ntx * TILE).astype(jnp.float32)
+    py0 = (t // ntx * TILE).astype(jnp.float32)
+    pxr = px - px0                                # (1, NPX) exact
+    pyr = py - py0
+    basis = jnp.concatenate(
+        [jnp.ones_like(pxr), pxr, pyr, pxr * pxr, pxr * pyr,
+         pyr * pyr], axis=0)                      # (6, NPX)
+    grhs = jnp.concatenate(
+        [grgb, gdep] + ([gfea] if with_feat else []), axis=0)
     # forward residuals: per-pixel final log-transmittance + the
     # early-termination prefix in SUB-chunk units — no replay sweep.
     l_total = out_res_ref[0, 4:5, :]
@@ -503,12 +516,9 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             w = alpha * t_g
             # one fused (H, 4|7) @ (4|7, NPX) matmul: rgb+depth(+feat)
             lhs = [terms["colors"], terms["depth"]]
-            rhs = [grgb, gdep]
             if with_feat:
                 lhs.append(terms["feat"])
-                rhs.append(gfea)
-            wbar = jnp.dot(jnp.concatenate(lhs, axis=1),
-                           jnp.concatenate(rhs, axis=0),
+            wbar = jnp.dot(jnp.concatenate(lhs, axis=1), grhs,
                            preferred_element_type=jnp.float32,
                            precision=HP)                    # (H, NPX)
             ww = w * wbar
@@ -524,19 +534,12 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
 
             # mean/conic gradients as pixel MOMENTS: the six cross-lane
             # reductions rsum(common * f(dx, dy)) collapse into ONE MXU
-            # matmul against a constant per-tile moment basis
+            # matmul against the hoisted per-tile moment basis
             # P = [1, x, y, x^2, xy, y^2] in TILE-LOCAL coordinates
             # (local coords keep the expanded sums well-conditioned),
             # then tiny (H, 1) recombination:
             #   sum c*dx       = Sx - mx*S0
             #   sum c*dx*dx    = Sxx - 2 mx Sx + mx^2 S0   (etc.)
-            px0 = (t % ntx * TILE).astype(jnp.float32)
-            py0 = (t // ntx * TILE).astype(jnp.float32)
-            pxr = px - px0                                # (1, NPX) exact
-            pyr = py - py0
-            basis = jnp.concatenate(
-                [jnp.ones_like(pxr), pxr, pyr, pxr * pxr, pxr * pyr,
-                 pyr * pyr], axis=0)                      # (6, NPX)
             M = jnp.dot(common, basis.T,
                         preferred_element_type=jnp.float32, precision=HP)
             s0, sx, sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
@@ -549,8 +552,7 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             dxys = sxy - mxr * sy - myr * sx + mxr * myr * s0
             dyys = syy - 2.0 * myr * sy + myr * myr * s0
             # d rgb / d depth (/ d feature) in one matmul
-            rhs = [grgb, gdep] + ([gfea] if with_feat else [])
-            wd = jnp.dot(w, jnp.concatenate(rhs, axis=0).T,
+            wd = jnp.dot(w, grhs.T,
                          preferred_element_type=jnp.float32, precision=HP)
             gcols = [
                 ca * dxs + cb * dys,                         # d mean_x
