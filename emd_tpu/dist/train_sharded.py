@@ -42,8 +42,8 @@ from ..train.trainer import TrainConfig, lr_tree
 
 
 def default_interpret() -> bool:
-    """Pallas interpret mode on CPU backends (tests / dryrun)."""
-    return jax.default_backend() == "cpu"
+    """Pallas interpret mode on non-TPU backends (tests / dryrun)."""
+    return jax.default_backend() != "tpu"
 
 
 class ShardedBatch(NamedTuple):

@@ -62,6 +62,12 @@ MAX_SIGMA = 3.0           # hard cutoff in sigma units (CUDA 3DGS 3-sigma)
 # SLOWER on chip (23.5 vs 23.9 Mpix/s, repeated): the narrower gather
 # hits a worse XLA path than the row it saves. 64 stands.
 MASK_BITS = int(__import__("os").environ.get("EMD_TPU_MASK_BITS", "64"))
+# The 4-row decode gather (mask in one word) is only taken when
+# explicitly requested: round-4 measured the NARROWER gather slower than
+# the row it saves (23.5 vs 23.9 Mpix/s), so MASK_BITS=32 pairs with the
+# 5-row decode (mask_hi = 0) by default — halving the Pallas coverage
+# walk without touching the gather shape.
+DECODE4 = int(__import__("os").environ.get("EMD_TPU_DECODE4", "0"))
 
 
 class Binning(NamedTuple):
@@ -222,7 +228,7 @@ def bin_gaussians(
     # to align_up(total) <= budget); round up rather than reject
     budget = -(-budget // chunk) * chunk
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     n = means2d.shape[0]
     ntx, nty = num_tiles(width, height, tile_size)
     n_tiles = ntx * nty
@@ -289,7 +295,7 @@ def bin_gaussians(
     dbits_g = jax.lax.bitcast_convert_type(
         jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
     as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa:E731
-    if MASK_BITS <= 32:      # mask fits one word: 4-row decode gather
+    if MASK_BITS <= 32 and DECODE4:   # one-word mask: 4-row decode gather
         dec = jnp.stack([geom, as_i32(mask_lo),
                          as_i32(dbits_g), starts_c])   # (4, N)
         dec = jnp.concatenate([dec, jnp.zeros((4, 1), jnp.int32)], axis=1)

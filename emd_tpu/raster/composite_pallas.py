@@ -101,6 +101,34 @@ CHUNK_STATIC = int(__import__("os").environ.get("EMD_TPU_CHUNK", "128"))
 # the aligned walk's head/tail boundary slack and early-terminating at
 # sub-chunk granularity. 1 = whole-chunk compute (the round-3 behavior).
 NSUB = int(__import__("os").environ.get("EMD_TPU_SUBCHUNKS", "2"))
+# Channel matmuls with K = n_channels (4 rgb+depth, 7 with features) run
+# the MXU at <6% K-utilization AND pay the 6-pass HIGHEST schedule; as
+# explicit per-channel broadcast multiply-adds they are ~2(K)-op VPU
+# work per output row and f32-exact in one pass. Applies to the
+# backward's wbar (the per-pair cotangent) — the K=1024 reductions
+# (moment basis, wd) stay on the MXU where the systolic reduction wins.
+VPU_CH = int(__import__("os").environ.get("EMD_TPU_VPU_CH", "1"))
+# Same trade for the forward's (4|7, H) @ (H, NPX) accumulation matmul:
+# K = H is MXU-friendly but M = 4|7 output rows still idles 95% of the
+# array across 6 HIGHEST passes; the VPU form is one broadcast multiply
+# + a log-step sublane reduction per channel. Measured separately from
+# VPU_CH because the shapes differ (reduction vs broadcast K).
+VPU_ACC = int(__import__("os").environ.get("EMD_TPU_VPU_ACC", "0"))
+# Fuse the backward's two K=NPX per-pixel reduction matmuls (wd and the
+# moment basis M) into one (2H, NPX) @ (NPX, nch+6) call: 2H = 128 fills
+# the MXU row dimension and one issue replaces two M=64 calls, at the
+# cost of computing the two wasted off-diagonal blocks.
+FUSE_MOM = int(__import__("os").environ.get("EMD_TPU_FUSE_MOM", "0"))
+
+
+def _channel_matmul(lhs_cols, rhs_rows):
+    """sum_ch lhs[:, ch:ch+1] * rhs[ch:ch+1, :] as VPU broadcasts.
+    lhs_cols: (H, K), rhs_rows: (K, NPX) -> (H, NPX), f32-exact."""
+    k = lhs_cols.shape[1]
+    acc = lhs_cols[:, 0:1] * rhs_rows[0:1, :]
+    for ch in range(1, k):
+        acc = acc + lhs_cols[:, ch:ch + 1] * rhs_rows[ch:ch + 1, :]
+    return acc
 
 
 def pack_instances(means2d, conics, colors, opacities, depths,
@@ -370,9 +398,19 @@ def _fwd_kernel(offs_ref, inst_ref, out_ref, meta_ref, buf, sem, *, chunk,
                 lhs = [terms["colors"], terms["depth"]]
                 if with_feat:   # static: absent features skip the rows
                     lhs.append(terms["feat"])
-                acc = jnp.dot(jnp.concatenate(lhs, axis=1).T, w,
-                              preferred_element_type=jnp.float32,
-                              precision=HP)
+                lhs_cat = jnp.concatenate(lhs, axis=1)
+                if VPU_ACC:
+                    # per-channel broadcast-mult + sublane reduction: the
+                    # MXU form runs M = 4|7 of 128 output rows and pays
+                    # the 6-pass HIGHEST schedule
+                    acc = jnp.concatenate(
+                        [jnp.sum(lhs_cat[:, ch:ch + 1] * w, axis=0,
+                                 keepdims=True)
+                         for ch in range(lhs_cat.shape[1])], axis=0)
+                else:
+                    acc = jnp.dot(lhs_cat.T, w,
+                                  preferred_element_type=jnp.float32,
+                                  precision=HP)
                 rgb = rgb + acc[0:3]
                 dep = dep + acc[3:4]
                 if with_feat:
@@ -518,9 +556,13 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             lhs = [terms["colors"], terms["depth"]]
             if with_feat:
                 lhs.append(terms["feat"])
-            wbar = jnp.dot(jnp.concatenate(lhs, axis=1), grhs,
-                           preferred_element_type=jnp.float32,
-                           precision=HP)                    # (H, NPX)
+            lhs_cat = jnp.concatenate(lhs, axis=1)
+            if VPU_CH:
+                wbar = _channel_matmul(lhs_cat, grhs)       # (H, NPX)
+            else:
+                wbar = jnp.dot(lhs_cat, grhs,
+                               preferred_element_type=jnp.float32,
+                               precision=HP)                # (H, NPX)
             ww = w * wbar
             # suffix-exclusive sum: total - inclusive scan. (A strict-
             # upper-triangle MXU matmul was measured SLOWER on v5e — see
@@ -540,8 +582,23 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             # then tiny (H, 1) recombination:
             #   sum c*dx       = Sx - mx*S0
             #   sum c*dx*dx    = Sxx - 2 mx Sx + mx^2 S0   (etc.)
-            M = jnp.dot(common, basis.T,
-                        preferred_element_type=jnp.float32, precision=HP)
+            nch = grhs.shape[0]
+            if FUSE_MOM:
+                # ONE (2H, NPX) @ (NPX, nch+6) matmul for BOTH per-pixel
+                # reductions (wd = w @ grhs.T and M = common @ basis.T):
+                # 2H = 128 fills the MXU's row dimension exactly, and one
+                # issue replaces two M=64 calls; the off-diagonal blocks
+                # are wasted FLOPs the systolic array absorbs.
+                big = jnp.dot(jnp.concatenate([w, common], axis=0),
+                              jnp.concatenate([grhs.T, basis.T], axis=1),
+                              preferred_element_type=jnp.float32,
+                              precision=HP)            # (2H, nch+6)
+                wd = big[:H, :nch]
+                M = big[H:, nch:]
+            else:
+                M = jnp.dot(common, basis.T,
+                            preferred_element_type=jnp.float32,
+                            precision=HP)
             s0, sx, sy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
             sxx, sxy, syy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
             mxr = terms["mx"] - px0                       # (H, 1)
@@ -551,9 +608,12 @@ def _bwd_kernel(offs_ref, inst_ref, out_res_ref, gout_ref, meta_ref,
             dxxs = sxx - 2.0 * mxr * sx + mxr * mxr * s0
             dxys = sxy - mxr * sy - myr * sx + mxr * myr * s0
             dyys = syy - 2.0 * myr * sy + myr * myr * s0
-            # d rgb / d depth (/ d feature) in one matmul
-            wd = jnp.dot(w, grhs.T,
-                         preferred_element_type=jnp.float32, precision=HP)
+            # d rgb / d depth (/ d feature): folded into the fused
+            # reduction matmul above when FUSE_MOM
+            if not FUSE_MOM:
+                wd = jnp.dot(w, grhs.T,
+                             preferred_element_type=jnp.float32,
+                             precision=HP)
             gcols = [
                 ca * dxs + cb * dys,                         # d mean_x
                 cb * dxs + cc * dys,                         # d mean_y
@@ -763,7 +823,7 @@ def tiles_to_image(tiles: jax.Array, ntx: int, nty: int,
     retile_pallas.py); the remaining channel slices/transposes fuse into
     their elementwise consumers."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     from .retile_pallas import tiles_to_planes
 
     t = tiles_to_planes(tiles, ntx, nty, interpret)

@@ -147,7 +147,7 @@ def rasterize(
     gathered soup and everything downstream is the single-device path.
     Its AD transpose is the duplicated-gaussian gradient reduce-scatter."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     n = means.shape[0]
     proj = project_gaussians(
         means, quats, scales, cam.viewmat, cam.K, cam.width, cam.height,

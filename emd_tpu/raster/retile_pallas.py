@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (memory spaces)
 
-TILE = int(__import__("os").environ.get("EMD_TPU_TILE", "32"))
+from .composite_pallas import TILE  # single source of truth for the tile edge
+
 NPX = TILE * TILE
 CH = 8            # output channels per tile row (rgb, depth, s, feat)
 
@@ -42,9 +43,10 @@ def _pick_g(ntx: int) -> int | None:
     resolution), else one whole tile row when it is small enough to
     unroll, else None -> XLA transpose fallback (correct everywhere,
     slower; only exotic widths land there)."""
-    fast = 128 // TILE
-    if ntx % fast == 0:
-        return fast
+    if 128 % TILE == 0:          # env override may set a non-dividing TILE
+        fast = 128 // TILE
+        if ntx % fast == 0:
+            return fast
     if ntx <= 16:
         return ntx
     return None

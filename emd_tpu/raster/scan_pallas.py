@@ -54,7 +54,7 @@ def cummax_fill_i32(x: jax.Array, interpret: bool | None = None,
     that don't block evenly. `force` runs the kernel in Pallas interpret
     mode on CPU (tests)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     m = x.shape[0]
     if (interpret and not force) or m % _BLOCK or m < 2 * _BLOCK:
         return jax.lax.cummax(x, axis=0)

@@ -5,8 +5,26 @@ Runs the sharded training step over meshes of growing data-axis size and
 reports pixels/s and efficiency vs linear scaling, emitting the gate
 artifact `--out SCALING_rNN.json` as
   {"backend", "gate": 0.8, "gate_met", "results": [{n_devices, pix_s,
-    efficiency}, ...]}
+    efficiency, compute_ms, collective_ms}, ...]}
 so a pod run is a one-liner.
+
+Each mesh point also reports a **collective/compute split** so the
+artifact bounds collective mechanics independently of host-core
+contention (the confound on the virtual CPU mesh):
+  compute_ms    — the identical local step body on a (1,1) mesh (no
+                  cross-device collectives), i.e. one device's work
+                  uncontended;
+  collective_ms — ONLY the step's collectives, isolated on the same
+                  mesh: the psum of the full parameter-gradient tree
+                  over "data" (the AD transpose of parameter
+                  replication) + the gauss-axis all_gather/
+                  reduce-scatter pair at projected-soup size.
+On a contended virtual mesh, ms_per_step >> compute_ms + collective_ms
+attributes the gap to core contention, not the sharding design.
+
+`--weak` adds a gauss-axis weak-scaling series: per-device gaussian load
+held constant (total N grows with the mesh), mesh (1, n_gauss), so the
+all_gather world size is the only growing term.
 
 On a multi-chip host or pod this measures real ICI/DCN scaling:
   # single host, all local chips
@@ -29,6 +47,45 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def time_fn(fn, *a, iters=10):
+    import jax
+    out = fn(*a)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*a)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters * 1e3
+
+
+def collective_ms(mesh, params, n_proj, iters=10):
+    """Isolate the step's collectives on `mesh`: data-axis psum of the
+    param-grad tree + gauss-axis all_gather/psum_scatter of the projected
+    soup (means2d/conics/colors/opac/depths/radii ~ 12 f32 rows)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_gauss = mesh.shape["gauss"]
+    soup_local = jnp.zeros((max(n_proj // n_gauss, 1), 12), jnp.float32)
+
+    def body(ptree, soup):
+        ptree = jax.tree.map(lambda x: jax.lax.psum(x, "data"), ptree)
+        g = jax.lax.all_gather(soup, "gauss", axis=0, tiled=True)
+        back = jax.lax.psum_scatter(g, "gauss", scatter_dimension=0,
+                                    tiled=True)
+        return ptree, back
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("gauss")),
+        out_specs=(P(), P("gauss"))))
+    ptree = jax.device_put(
+        jax.tree.map(jnp.zeros_like, params), NamedSharding(mesh, P()))
+    soup = jax.device_put(
+        jnp.tile(soup_local, (n_gauss, 1)), NamedSharding(mesh, P("gauss")))
+    return time_fn(fn, ptree, soup, iters=iters)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -40,6 +97,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", type=str, default=None,
                     help="write the gate-formatted JSON artifact here")
+    ap.add_argument("--weak", action="store_true",
+                    help="add a gauss-axis weak-scaling series (constant "
+                         "per-device gaussian load)")
     args = ap.parse_args()
 
     import jax
@@ -65,20 +125,17 @@ def main():
     opt = adam_init(params)
     cfg = TrainConfig(budget=args.budget)
 
-    results = []
-    n_data = 1
-    while n_data <= n_dev:
-        mesh = make_mesh(n_data=n_data, n_gauss=1,
-                         devices=jax.devices()[:n_data])
+    def make_batch(n_data):
         Ks = jnp.tile(jnp.array([[0.6 * width, 0, width / 2],
                                  [0, 0.6 * width, height / 2],
                                  [0, 0, 1.0]]), (n_data, 1, 1))
         vms = jnp.stack([
             look_at((0.3 * i, 0.0, 0.0), (0.0, 0.0, 7.0),
                     up=(0.0, -1.0, 0.0)) for i in range(n_data)])
-        batch = ShardedBatch(
-            K=Ks, viewmat=vms,
-            rgb=jnp.zeros((n_data, height, width, 3)) + 0.5)
+        return ShardedBatch(K=Ks, viewmat=vms,
+                            rgb=jnp.zeros((n_data, height, width, 3)) + 0.5)
+
+    def run_point(mesh, params, alive, opt, batch):
         step = make_sharded_train_step(mesh, cfg, width, height)
         p, (o, a), loss = step(params, (opt, alive), batch,
                                jnp.zeros((), jnp.int32))
@@ -88,11 +145,43 @@ def main():
             p, (o, a), loss = step(p, (o, a), batch,
                                    jnp.zeros((), jnp.int32))
         _ = float(loss)
-        dt = (time.time() - t0) / args.iters
+        return (time.time() - t0) / args.iters
+
+    results = []
+    n_data = 1
+    compute_ms = None
+    while n_data <= n_dev:
+        mesh = make_mesh(n_data=n_data, n_gauss=1,
+                         devices=jax.devices()[:n_data])
+        batch = make_batch(n_data)
+        dt = run_point(mesh, params, alive, opt, batch)
+        if compute_ms is None:
+            compute_ms = dt * 1e3  # the (1,1) point IS one device's work
         pix_s = n_data * width * height / dt
+        coll = (collective_ms(mesh, params, args.n, args.iters)
+                if n_data > 1 else 0.0)
         results.append(dict(n_devices=n_data, ms_per_step=dt * 1e3,
-                            pixels_per_s=pix_s))
+                            pixels_per_s=pix_s,
+                            compute_ms=round(compute_ms, 3),
+                            collective_ms=round(coll, 3)))
         n_data *= 2
+
+    weak_results = []
+    if args.weak:
+        from __graft_entry__ import _toy_gaussians as toy
+        n_gauss = 1
+        while n_gauss <= n_dev:
+            mesh = make_mesh(n_data=1, n_gauss=n_gauss,
+                             devices=jax.devices()[:n_gauss])
+            wp, wa = toy(args.n * n_gauss)  # constant per-device load
+            dt = run_point(mesh, wp, wa, adam_init(wp), make_batch(1))
+            coll = (collective_ms(mesh, wp, args.n * n_gauss, args.iters)
+                    if n_gauss > 1 else 0.0)
+            weak_results.append(dict(
+                n_devices=n_gauss, n_gaussians=args.n * n_gauss,
+                ms_per_step=round(dt * 1e3, 3),
+                collective_ms=round(coll, 3)))
+            n_gauss *= 2
 
     base = results[0]["pixels_per_s"]
     for r in results:
@@ -107,6 +196,8 @@ def main():
         gate_met=all(r["efficiency"] >= gate for r in results),
         results=results,
     )
+    if weak_results:
+        artifact["weak_scaling"] = weak_results
     if jax.default_backend() == "cpu":
         artifact["note"] = (
             "virtual CPU mesh: all devices share one host's cores, so "

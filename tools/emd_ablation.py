@@ -30,6 +30,67 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def run_multi_seed(args):
+    """Drive N single-seed runs as subprocesses (fresh JAX process per
+    seed — each seed shifts the GT init AND the wobble phase), then
+    aggregate the on/off margins into one artifact with mean +- std and
+    a margin/sigma significance ratio."""
+    import subprocess
+
+    per_seed = []
+    for i in range(args.seeds):
+        seed = args.seed + i
+        jout = f"{args.json_out}.seed{seed}"
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--steps", str(args.steps), "--mode", args.mode,
+               "--width", str(args.width), "--height", str(args.height),
+               "--frames", str(args.frames), "--n_bg", str(args.n_bg),
+               "--n_veh", str(args.n_veh), "--n_ped", str(args.n_ped),
+               "--smpl_smooth", str(args.smpl_smooth),
+               "--budget", str(args.budget),
+               "--out", os.path.join(args.out, f"seed{seed}"),
+               "--json_out", jout, "--test_stride", str(args.test_stride),
+               "--seed", str(seed), "--seeds", "1",
+               "--wobble_amp", str(args.wobble_amp)]
+        print(f"=== seed {seed} ({i + 1}/{args.seeds}) ===", flush=True)
+        subprocess.run(cmd, check=True)
+        with open(jout) as f:
+            per_seed.append(json.load(f))
+
+    gate_key = ("delta_test_human_psnr" if args.mode == "smpl"
+                else "delta_test_vehicle_psnr")
+    deltas = np.array([r[gate_key] for r in per_seed], np.float64)
+    on = np.array([r["emd_on"]["test"]["human_psnr" if args.mode == "smpl"
+                                       else "vehicle_psnr"]
+                   for r in per_seed])
+    off = np.array([r["emd_off"]["test"]["human_psnr"
+                                         if args.mode == "smpl"
+                                         else "vehicle_psnr"]
+                    for r in per_seed])
+    std = float(deltas.std(ddof=1)) if len(deltas) > 1 else 0.0
+    report = {
+        "gate": f"emd_ablation_{args.mode}_multiseed",
+        "seeds": [args.seed + i for i in range(args.seeds)],
+        "steps": args.steps,
+        "wobble_amp": args.wobble_amp,
+        "margin_mean_db": round(float(deltas.mean()), 3),
+        "margin_std_db": round(std, 3),
+        "margin_over_sigma": (round(float(deltas.mean()) / std, 2)
+                              if std > 0 else None),
+        "per_seed_margin_db": [round(float(d), 3) for d in deltas],
+        "emd_on_mean_db": round(float(on.mean()), 3),
+        "emd_off_mean_db": round(float(off.mean()), 3),
+        "pass": bool((deltas > 0).all()),
+        "per_seed": per_seed,
+    }
+    with open(args.json_out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(json.dumps({k: report[k] for k in
+                      ("margin_mean_db", "margin_std_db",
+                       "margin_over_sigma", "per_seed_margin_db",
+                       "pass")}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2500)
@@ -58,6 +119,18 @@ def main():
     ap.add_argument("--out", default="out/emd_ablation")
     ap.add_argument("--json_out", default="docs/emd_ablation_r03_metrics.json")
     ap.add_argument("--test_stride", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="GT-scene seed (init geometry + noise)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="run N seeds (seed, seed+1, ...), each with a "
+                         "different wobble PHASE, and report the margin "
+                         "as mean +- std across seeds — a single-seed "
+                         "margin below run-to-run variance proves "
+                         "nothing (VERDICT r4 weak #5)")
+    ap.add_argument("--wobble_amp", type=float, default=1.0,
+                    help="scale the pedestrian joint-wobble amplitudes "
+                         "(smpl mode): a larger unmodelled residual "
+                         "gives the EMD heads more signal to explain")
     args = ap.parse_args()
 
     import dataclasses
@@ -72,12 +145,18 @@ def main():
     from emd_tpu.train.loop import LoopConfig, fit_scene
     from emd_tpu.train.scene_trainer import SceneTrainConfig
 
+    if args.seeds > 1:
+        run_multi_seed(args)
+        return
+
     t0 = time.time()
     smpl_mode = args.mode == "smpl"
     params, aux, meta = build_gt_scene(
         n_bg=args.n_bg, n_veh=args.n_veh, n_frames=args.frames,
         width=args.width, height=args.height, wobble=not smpl_mode,
-        n_ped=args.n_ped if smpl_mode else 0, wobble_ped=smpl_mode)
+        n_ped=args.n_ped if smpl_mode else 0, wobble_ped=smpl_mode,
+        seed=args.seed, ped_wobble_amp=args.wobble_amp,
+        ped_wobble_phase=0.7 * args.seed)
     print("rendering wobbled GT ...", flush=True)
     images, sky_masks, veh_masks, hum_masks, cyc_masks = render_gt(
         params, aux, meta, args.budget)

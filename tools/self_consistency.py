@@ -37,7 +37,8 @@ def _rot_z(a):
 
 def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
                    width=480, height=320, seed=0, wobble=False,
-                   n_ped=0, n_cyc=0, wobble_ped=False):
+                   n_ped=0, n_cyc=0, wobble_ped=False,
+                   ped_wobble_amp=1.0, ped_wobble_phase=0.0):
     """Known SceneParams + cameras + instance track for the GT render.
 
     `wobble=True` adds a non-box-constant residual motion to the TRUE
@@ -182,11 +183,11 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
             # (the EMD joint-off composition order in smpl_world_gaussians),
             # incommensurate period vs the 4-frame stride
             for f in range(n_frames):
-                ph = 2 * np.pi * f / 3.7
+                ph = 2 * np.pi * f / 3.7 + ped_wobble_phase
                 for jidx, amp, phase in ((0, 0.12, 0.0), (1, 0.2, 0.9),
                                          (2, 0.2, 2.3), (16, 0.22, 1.6),
                                          (17, 0.22, 4.1)):
-                    a = amp * np.sin(ph + phase)
+                    a = ped_wobble_amp * amp * np.sin(ph + phase)
                     w1, x1, y1, z1 = body_ann[f, 0, jidx]
                     cw, sz = np.cos(a / 2), np.sin(a / 2)
                     # (w1,x1,y1,z1) * (cw,0,0,sz)
