@@ -95,8 +95,13 @@ def _expand_bwd(res, g):
     # starts==0 cases explicitly
     starts, ends = binning.seg_starts, binning.seg_ends    # (N,)
     hi = jnp.take(cs, jnp.maximum(ends - 1, 0), axis=1)
-    lo = jnp.where(starts[None, :] > 0,
-                   jnp.take(cs, jnp.maximum(starts - 1, 0), axis=1), 0.0)
+    # segments tile the slot axis contiguously (starts = cumsum-exclusive,
+    # ends = cumsum-inclusive => starts[i] == ends[i-1] always, clipped
+    # identically), so cs[starts[i]-1] == cs[ends[i-1]-1]: the lo bound is
+    # a SHIFT of hi, not a second N-column gather
+    lo = jnp.concatenate(
+        [jnp.zeros((n_rows, 1), hi.dtype), hi[:, :-1]], axis=1)
+    lo = jnp.where(starts[None, :] > 0, lo, 0.0)
     seg = jnp.where((ends > starts)[None, :], hi - lo, 0.0)  # (n_rows, N)
     g_packed = jnp.concatenate(
         [seg, jnp.zeros((n_rows, shape[1] - seg.shape[1]), seg.dtype)],

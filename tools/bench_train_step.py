@@ -111,7 +111,7 @@ def chain_steps(step_fn, state, batch, iters):
     return (time.time() - t0) / iters
 
 
-def main_s3(iters: int = 8):
+def main_s3(iters: int = 8, n: int = 500_000):
     """S3-flavor step throughput: 500k gaussians + hexplane deformation
     field (fine stage) + the full S3 loss suite + Adam, 1080p."""
     _enable_cache()
@@ -124,10 +124,10 @@ def main_s3(iters: int = 8):
                                           s3_train_step)
 
     width, height = 1920, 1080
-    # 300k: the fine-stage backward holds the field-MLP activations for
-    # every gaussian (dx/ds/dr/do/dshs heads over W=64 nets, coarse +
-    # re-embedded fine) — 500k exceeds one v5e's 15.75G HBM by ~0.9G
-    n = 300_000
+    # default 500k = the official scene scale; before round-4's
+    # `remat_field` (jax.checkpoint over the field MLPs) the fine-stage
+    # backward held every gaussian's head activations and 500k exceeded
+    # one v5e's 15.75G HBM — pass n=300_000 to reproduce that point
     gauss, alive = _street_gaussians(n)
     fcfg = S3FieldConfig(sh_bases=16, n_cams=3, feat_head=False)
     field = create_s3_field(jax.random.PRNGKey(0), fcfg)
@@ -156,7 +156,7 @@ def main_s3(iters: int = 8):
     pix_s = width * height / dt
     print(f"full S3 fine-stage train step: {dt * 1e3:.1f} ms")
     print(json.dumps({
-        "metric": "s3_train_step_pixels_per_second_1080p_300k",
+        "metric": f"s3_train_step_pixels_per_second_1080p_{n // 1000}k",
         "value": round(pix_s, 1),
         "unit": "pixels/s/chip",
         "step_ms": round(dt * 1e3, 2),
@@ -220,6 +220,9 @@ def main():
 
 if __name__ == "__main__":
     if "--flavor" in sys.argv and "s3" in sys.argv:
-        main_s3()
+        kw = {}
+        if "--n" in sys.argv:
+            kw["n"] = int(sys.argv[sys.argv.index("--n") + 1])
+        main_s3(**kw)
     else:
         main()

@@ -133,6 +133,9 @@ def main():
                          "gives the EMD heads more signal to explain")
     args = ap.parse_args()
 
+    from emd_tpu.utils.compile_cache import enable as _cc
+    _cc()  # persistent XLA cache: repeat/multi-seed runs skip recompiles
+
     import dataclasses
 
     from self_consistency import build_gt_scene, render_gt, to_scene_data

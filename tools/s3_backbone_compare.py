@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--backbones", default="hexplane,hash")
     args = ap.parse_args()
 
+    from emd_tpu.utils.compile_cache import enable as _cc
+    _cc()  # persistent XLA cache: repeat/multi-seed runs skip recompiles
+
     import jax
     import jax.numpy as jnp
 

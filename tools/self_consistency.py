@@ -479,6 +479,9 @@ def main():
                          "the lever the oracle-pose analysis points at")
     args = ap.parse_args()
 
+    from emd_tpu.utils.compile_cache import enable as _cc
+    _cc()  # persistent XLA cache: repeat/multi-seed runs skip recompiles
+
     from emd_tpu.data.seeding import build_scene_params
     from emd_tpu.eval.harness import do_evaluation
     from emd_tpu.train.loop import LoopConfig, fit_scene
