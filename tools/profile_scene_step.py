@@ -129,14 +129,24 @@ def main():
     img = jax.random.uniform(key, (height, width, 3))
     alpha = jax.random.uniform(key, (height, width))
 
+    from emd_tpu.scene.sky import sky_pixels
+
     def sky_fwd(i):
+        # the path the trainer takes: coarse-grid sample + bilinear
+        # upsample (sky_pixels auto factor)
+        srgb = sky_pixels(params.sky, cam)
+        return composite_sky(i, alpha, srgb)
+    chain_time(sky_fwd, img, name="sky fwd (coarse sky_pixels, as trained)")
+    chain_time(lambda i: jax.grad(
+        lambda ii: jnp.sum(sky_fwd(ii)[:2] ** 2))(i), img,
+        name="sky fwd+bwd (coarse)")
+
+    def sky_exact(i):
+        # reference point: the exact per-pixel gather (factor=1)
         _, vd = camera_rays(cam)
         srgb = sample_cubemap(params.sky, vd)
         return composite_sky(i, alpha, srgb)
-    chain_time(sky_fwd, img, name="sky fwd (rays+cubemap+composite)")
-    chain_time(lambda i: jax.grad(
-        lambda ii: jnp.sum(sky_fwd(ii)[:2] ** 2))(i), img,
-        name="sky fwd+bwd")
+    chain_time(sky_exact, img, name="sky fwd (exact per-pixel, unused)")
 
     def aff(i):
         mat = affine_matrix(params.affine, batch.img_idx, False)
