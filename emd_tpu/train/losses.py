@@ -27,12 +27,59 @@ def _gaussian_window(size: int, sigma: float) -> jax.Array:
     return g / g.sum()
 
 
+# SSIM blur formulation: "band" = the separable 11-tap blur as two
+# dense banded matmuls (W_y @ img @ W_x^T) — pure MXU work, one dot per
+# axis for all five blurred quantities at once. "vmap" = the original
+# vmapped 1-D convolve. The depthwise-conv form is a recorded dead end
+# (42.4 ms at 1080p: 3/128 MXU channel utilization).
+SSIM_IMPL = __import__("os").environ.get("EMD_TPU_SSIM", "band")
+
+
+def _band_matrix(n: int, w: jax.Array) -> jax.Array:
+    """(n, n) banded blur matrix: row i holds w centered at i (zero SAME
+    padding semantics — taps falling outside [0, n) are dropped)."""
+    size = w.shape[0]
+    idx = jnp.arange(n)
+    offs = jnp.arange(size) - size // 2
+    cols = idx[:, None] + offs[None, :]            # (n, size)
+    valid = (cols >= 0) & (cols < n)
+    band = jnp.zeros((n, n), w.dtype)
+    band = band.at[idx[:, None], jnp.clip(cols, 0, n - 1)].add(
+        jnp.where(valid, w[None, :], 0.0))
+    return band
+
+
 def ssim(pred: jax.Array, gt: jax.Array, window: int = 11,
          sigma: float = 1.5, c1: float = 0.01 ** 2,
          c2: float = 0.03 ** 2) -> jax.Array:
     """Mean SSIM over an (H, W, C) pair — same 11x1.5 separable Gaussian
     window as the references (S3 loss_utils.py:56-96, pytorch_msssim)."""
     w = _gaussian_window(window, sigma)
+
+    if SSIM_IMPL == "band":
+        h_dim = pred.shape[0]
+        w_dim = pred.shape[1]
+        by = _band_matrix(h_dim, w)
+        bx = _band_matrix(w_dim, w)
+        hp = jax.lax.Precision.HIGHEST
+
+        def blur(img):
+            squeeze = img.ndim == 2
+            x = img[..., None] if squeeze else img
+            y = jnp.einsum("ij,jwc->iwc", by, x, precision=hp)
+            y = jnp.einsum("kw,iwc->ikc", bx, y, precision=hp)
+            return y[..., 0] if squeeze else y
+
+        mu_p = blur(pred)
+        mu_g = blur(gt)
+        mu_pg = mu_p * mu_g
+        sigma_p = blur(pred * pred) - mu_p * mu_p
+        sigma_g = blur(gt * gt) - mu_g * mu_g
+        sigma_pg = blur(pred * gt) - mu_pg
+        num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
+        den = (mu_p ** 2 + mu_g ** 2 + c1) \
+            * jnp.maximum(sigma_p + sigma_g + c2, 0.5 * c2)
+        return jnp.mean(num / den)
 
     def blur(img):
         # separable conv, channels vmapped; SAME padding like torch conv2d
