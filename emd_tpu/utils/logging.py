@@ -68,7 +68,7 @@ class MetricLogger:
     the dependency-free sink."""
 
     def __init__(self, out_dir: str | None = None, window: int = 20,
-                 tb: bool = True):
+                 tb: bool = True, track_url: str | None = None):
         self.meters = collections.defaultdict(lambda: SmoothedValue(window))
         self.json_path = (os.path.join(out_dir, "metrics.jsonl")
                           if out_dir else None)
@@ -78,6 +78,14 @@ class MetricLogger:
             if tb:
                 from .tbwriter import TBWriter
                 self.tb = TBWriter(os.path.join(out_dir, "tb"))
+        # opt-in remote tracking (the reference's wandb mirror class,
+        # tools/train.py:211-235): EMD_TPU_TRACK_URL or track_url
+        track_url = track_url or os.environ.get("EMD_TPU_TRACK_URL")
+        self.tracker = None
+        if track_url:
+            from .tracker import RemoteTracker
+            self.tracker = RemoteTracker(
+                track_url, run_name=os.path.basename(out_dir or "run"))
         self._t0 = time.time()
         self._last = self._t0
 
@@ -96,6 +104,9 @@ class MetricLogger:
             self.tb.add_scalars(
                 {f"train/{k}": m.avg for k, m in self.meters.items()}, step)
             self.tb.flush()
+        if self.tracker is not None:
+            self.tracker.log(step,
+                             {k: m.avg for k, m in self.meters.items()})
 
     def line(self, step: int, total: int) -> str:
         now = time.time()

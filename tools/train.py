@@ -74,7 +74,15 @@ def main():
                     help="YAML config file(s), e.g. configs/omnire.yaml")
     ap.add_argument("--set", dest="overrides", type=str, nargs="*",
                     default=[], help="dotlist overrides: a.b.c=value")
+    ap.add_argument("--track_url", type=str, default=None,
+                    help="opt-in remote metric tracking: POST JSON-line "
+                         "scalars to this HTTP endpoint (the reference's "
+                         "wandb mirror, tools/train.py:211-235; see "
+                         "emd_tpu/utils/tracker.py for a collector "
+                         "sketch). Also via EMD_TPU_TRACK_URL.")
     args = ap.parse_args()
+    if args.track_url:
+        os.environ["EMD_TPU_TRACK_URL"] = args.track_url
 
     import jax
 
