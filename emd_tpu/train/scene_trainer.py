@@ -84,6 +84,8 @@ class SceneTrainConfig:
     lr_opacities: float = 5e-2
     lr_ins_rotation: float = 1e-5      # expon -> 5e-6
     lr_ins_translation: float = 5e-4   # expon -> 1e-4
+    lr_smpl_rotation: float = 5e-5     # body pose, expon -> 1e-5
+    #                                    (omnire.yaml:275-277)
     lr_embeddings: float = 2.5e-3
     lr_temporal_grid: float = 1.6e-4   # * scene_scale, expon -> 1%
     lr_emd_heads: float = 1.6e-4       # * scene_scale, expon -> 1%
@@ -170,8 +172,27 @@ def scene_lr_tree(params: SceneParams, cfg: SceneTrainConfig, step,
         )
     smpl = None
     if params.smpl is not None:
-        smpl = jax.tree.map(lambda _: jnp.asarray(cfg.lr_means), params.smpl)
-        smpl = smpl._replace(rigid=rigid_lr(params.smpl.rigid))
+        # body pose at the reference's smpl_rotation schedule
+        # (omnire.yaml:275-277, 5e-5 -> 1e-5) — a flat lr_means here let
+        # per-frame body poses drift from the annotation and the
+        # canonical appearance co-adapt to the drift, which is exactly
+        # the held-out human-PSNR bound the round-4 oracle-pose analysis
+        # isolated (interp 24.81 ~= true-pose 24.70 << train 38.06);
+        # EMD joint heads at the rigid heads' schedule (track_smpl_c/f,
+        # omnire.yaml:286-289); voxel at w_dc_vox (1e-4 -> 1e-5).
+        head_lr = expon_lr(step, cfg.lr_emd_heads * scene_scale,
+                           cfg.lr_emd_heads * scene_scale * 0.01,
+                           cfg.max_steps)
+        smpl = params.smpl._replace(
+            rigid=rigid_lr(params.smpl.rigid),
+            smpl_quats=expon_lr(step, cfg.lr_smpl_rotation, 1e-5,
+                                cfg.max_steps),
+            smpl_heads=jax.tree.map(lambda _: head_lr,
+                                    params.smpl.smpl_heads),
+            voxel=(jax.tree.map(
+                lambda _: expon_lr(step, 1e-4, 1e-5, cfg.max_steps),
+                params.smpl.voxel)
+                if params.smpl.voxel is not None else None))
     bg_pvg_lr = None
     if params.bg_pvg is not None:
         from ..scene.scene_graph import PvgTemporal
