@@ -153,9 +153,7 @@ def scene_lr_tree(params: SceneParams, cfg: SceneTrainConfig, step,
             instances_trans=expon_lr(step, cfg.lr_ins_translation,
                                      1e-4, cfg.max_steps),
             temporal_grid=grid_lr,
-            heads=jax.tree.map(lambda _: head_lr, params.rigid.heads
-                               if params.rigid is not None else
-                               params.deformable.rigid.heads),
+            heads=jax.tree.map(lambda _: head_lr, rp.heads),
         )
 
     rigid = rigid_lr(params.rigid) if params.rigid is not None else None

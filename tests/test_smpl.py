@@ -306,3 +306,30 @@ def test_load_smpl_model_betas_and_on_mesh_init(tmp_path):
     dots = np.abs(np.sum(R[:, :, 2] * np.stack(
         [nrm[:, 0], nrm[:, 1], np.zeros(6)], 1), 1))
     assert dots.min() > 0.9
+
+
+def test_smpl_lr_tree_follows_reference_schedules():
+    """Body pose must train at the reference's smpl_rotation schedule
+    (omnire.yaml:275-277, 5e-5 expon-> 1e-5), the EMD joint heads at the
+    track_smpl_c/f schedule, NOT at the flat lr_means — the round-4
+    held-out human-PSNR bound was body-pose drift/co-adaptation caused
+    by a 3.2x-hot non-decaying body-pose LR (fixed round 5)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from emd_tpu.scene import SceneParams
+    from emd_tpu.train.scene_trainer import SceneTrainConfig, scene_lr_tree
+
+    params, aux, alive, tmpl, pts = _make_smpl(jax.random.PRNGKey(0))
+    sp = SceneParams(background=params.rigid.gauss, rigid=None,
+                     deformable=None, smpl=params, sky=None, affine=None,
+                     cam_pose=None)
+    cfg = SceneTrainConfig()
+    lr0 = scene_lr_tree(sp, cfg, jnp.asarray(0), 1.0)
+    lr_end = scene_lr_tree(sp, cfg, jnp.asarray(cfg.max_steps), 1.0)
+    assert float(lr0.smpl.smpl_quats) == pytest.approx(5e-5, rel=1e-3)
+    assert float(lr_end.smpl.smpl_quats) == pytest.approx(1e-5, rel=1e-2)
+    # heads decay too (flat lr_means had no decay)
+    h0 = float(jax.tree_util.tree_leaves(lr0.smpl.smpl_heads)[0])
+    h1 = float(jax.tree_util.tree_leaves(lr_end.smpl.smpl_heads)[0])
+    assert h1 < 0.05 * h0
