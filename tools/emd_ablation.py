@@ -51,7 +51,8 @@ def run_multi_seed(args):
                "--out", os.path.join(args.out, f"seed{seed}"),
                "--json_out", jout, "--test_stride", str(args.test_stride),
                "--seed", str(seed), "--seeds", "1",
-               "--wobble_amp", str(args.wobble_amp)]
+               "--wobble_amp", str(args.wobble_amp),
+               "--wobble_period", str(args.wobble_period)]
         print(f"=== seed {seed} ({i + 1}/{args.seeds}) ===", flush=True)
         subprocess.run(cmd, check=True)
         with open(jout) as f:
@@ -73,6 +74,7 @@ def run_multi_seed(args):
         "seeds": [args.seed + i for i in range(args.seeds)],
         "steps": args.steps,
         "wobble_amp": args.wobble_amp,
+        "wobble_period": args.wobble_period,
         "margin_mean_db": round(float(deltas.mean()), 3),
         "margin_std_db": round(std, 3),
         "margin_over_sigma": (round(float(deltas.mean()) / std, 2)
@@ -131,6 +133,13 @@ def main():
                     help="scale the pedestrian joint-wobble amplitudes "
                          "(smpl mode): a larger unmodelled residual "
                          "gives the EMD heads more signal to explain")
+    ap.add_argument("--wobble_period", type=float, default=3.7,
+                    help="pedestrian wobble period in frames. 3.7 is "
+                         "~Nyquist for the stride-8 test split (test-"
+                         "frame phase unrecoverable by ANY student — "
+                         "measured margins are extrapolation noise); "
+                         "7.3 makes the residual interpolatable and "
+                         "isolates EMD expressiveness")
     args = ap.parse_args()
 
     from emd_tpu.utils.compile_cache import enable as _cc
@@ -159,7 +168,8 @@ def main():
         width=args.width, height=args.height, wobble=not smpl_mode,
         n_ped=args.n_ped if smpl_mode else 0, wobble_ped=smpl_mode,
         seed=args.seed, ped_wobble_amp=args.wobble_amp,
-        ped_wobble_phase=0.7 * args.seed)
+        ped_wobble_phase=0.7 * args.seed,
+        ped_wobble_period=args.wobble_period)
     print("rendering wobbled GT ...", flush=True)
     images, sky_masks, veh_masks, hum_masks, cyc_masks = render_gt(
         params, aux, meta, args.budget)

@@ -38,7 +38,8 @@ def _rot_z(a):
 def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
                    width=480, height=320, seed=0, wobble=False,
                    n_ped=0, n_cyc=0, wobble_ped=False,
-                   ped_wobble_amp=1.0, ped_wobble_phase=0.0):
+                   ped_wobble_amp=1.0, ped_wobble_phase=0.0,
+                   ped_wobble_period=3.7):
     """Known SceneParams + cameras + instance track for the GT render.
 
     `wobble=True` adds a non-box-constant residual motion to the TRUE
@@ -182,8 +183,15 @@ def build_gt_scene(n_bg=200_000, n_veh=20_000, n_frames=16, n_cams=2,
             # z-yaw residuals the annotation cycle lacks: right-multiplied
             # (the EMD joint-off composition order in smpl_world_gaussians),
             # incommensurate period vs the 4-frame stride
+            # default period 3.7 frames is just above Nyquist for the
+            # stride-8 test split: neither student can RECOVER the test
+            # frame's wobble phase from neighbours, so margins measure
+            # extrapolation noise. A slower period (e.g. 7.3) makes the
+            # residual interpolatable — expressible by the EMD heads,
+            # inexpressible by the smooth annotation cycle — which is
+            # the mechanism the ablation is supposed to isolate.
             for f in range(n_frames):
-                ph = 2 * np.pi * f / 3.7 + ped_wobble_phase
+                ph = 2 * np.pi * f / ped_wobble_period + ped_wobble_phase
                 for jidx, amp, phase in ((0, 0.12, 0.0), (1, 0.2, 0.9),
                                          (2, 0.2, 2.3), (16, 0.22, 1.6),
                                          (17, 0.22, 4.1)):
