@@ -1,5 +1,5 @@
 """Stage map of the S3 fine-stage train step at the bench point
-(1080p/300k) — isolates deformation-field forward/backward, hexplane
+(1080p/500k default; --n to override) — isolates deformation-field forward/backward, hexplane
 features, SH eval, rasterize, and the full step, chained-on-device.
 
 Run (chip): PYTHONPATH=/root/repo:/root/.axon_site \
@@ -51,7 +51,9 @@ def main():
                                           s3_train_step)
 
     width, height = 1920, 1080
-    n = 300_000
+    n = 500_000
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
     gauss, alive = _street_gaussians(n)
     fcfg = S3FieldConfig(sh_bases=16, n_cams=3, feat_head=False)
     field = create_s3_field(jax.random.PRNGKey(0), fcfg)
