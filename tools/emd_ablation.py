@@ -52,7 +52,8 @@ def run_multi_seed(args):
                "--json_out", jout, "--test_stride", str(args.test_stride),
                "--seed", str(seed), "--seeds", "1",
                "--wobble_amp", str(args.wobble_amp),
-               "--wobble_period", str(args.wobble_period)]
+               "--wobble_period", str(args.wobble_period)] \
+            + (["--freeze_body_pose"] if args.freeze_body_pose else [])
         print(f"=== seed {seed} ({i + 1}/{args.seeds}) ===", flush=True)
         subprocess.run(cmd, check=True)
         with open(jout) as f:
@@ -75,6 +76,7 @@ def run_multi_seed(args):
         "steps": args.steps,
         "wobble_amp": args.wobble_amp,
         "wobble_period": args.wobble_period,
+        "freeze_body_pose": args.freeze_body_pose,
         "margin_mean_db": round(float(deltas.mean()), 3),
         "margin_std_db": round(std, 3),
         "margin_over_sigma": (round(float(deltas.mean()) / std, 2)
@@ -133,6 +135,16 @@ def main():
                     help="scale the pedestrian joint-wobble amplitudes "
                          "(smpl mode): a larger unmodelled residual "
                          "gives the EMD heads more signal to explain")
+    ap.add_argument("--freeze_body_pose", action="store_true",
+                    help="train with the per-frame SMPL body pose FROZEN "
+                         "at the annotation (lr_smpl_rotation=0) in BOTH "
+                         "arms: the optimizable pose can partially absorb "
+                         "the wobble in either arm (measured: margins "
+                         "+0.12 / -1.0 dB at amp 1.0/1.5 — pure "
+                         "confound), so freezing it makes the EMD heads "
+                         "the ONLY mechanism that can express the "
+                         "residual — the division the reference's "
+                         "no_apply_embed_track ablation isolates")
     ap.add_argument("--wobble_period", type=float, default=3.7,
                     help="pedestrian wobble period in frames. 3.7 is "
                          "~Nyquist for the stride-8 test split (test-"
@@ -188,6 +200,8 @@ def main():
         if smpl_mode:
             cfg = dataclasses.replace(
                 cfg, w_smpl_joint_smooth=args.smpl_smooth)
+            if args.freeze_body_pose:
+                cfg = dataclasses.replace(cfg, lr_smpl_rotation=0.0)
         loop = LoopConfig(
             max_steps=args.steps, refine_start=500, refine_interval=400,
             refine_stop=args.steps * 3 // 4,
