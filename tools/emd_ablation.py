@@ -221,8 +221,20 @@ def main():
               flush=True)
         return res
 
-    res_on = run("emd_on", RigidConfig())
-    res_off = run("emd_off", RigidConfig(no_apply_embed_track=True))
+    # Temporal-grid density scaled to the CLIP, not the reference's
+    # 150-frame tuning: the c2f virtual resolution must stay at or below
+    # ~1 row/frame or held-out frames read grid rows no train frame ever
+    # wrote — measured on this gate as "+6 dB train-human absorption,
+    # ZERO test-frame transfer" (the heads work; the offsets do not
+    # interpolate). The reference's own 30->150 over 150-frame clips is
+    # exactly 0.2->1.0 rows/frame; mirror that ratio here.
+    min_emb = max(3, int(round(0.2 * args.frames)))
+    max_emb = max(min_emb + 1, args.frames)
+    emb_kw = dict(min_embeddings=min_emb, max_embeddings=max_emb,
+                  c2f_temporal_iter=args.steps)
+    res_on = run("emd_on", RigidConfig(**emb_kw))
+    res_off = run("emd_off", RigidConfig(no_apply_embed_track=True,
+                                         **emb_kw))
 
     def d(key):
         a = res_on["test"].get(key)
