@@ -27,12 +27,13 @@ def _gaussian_window(size: int, sigma: float) -> jax.Array:
     return g / g.sum()
 
 
-# SSIM blur formulation: "band" = the separable 11-tap blur as two
-# dense banded matmuls (W_y @ img @ W_x^T) — pure MXU work, one dot per
-# axis for all five blurred quantities at once. "vmap" = the original
-# vmapped 1-D convolve. The depthwise-conv form is a recorded dead end
-# (42.4 ms at 1080p: 3/128 MXU channel utilization).
-SSIM_IMPL = __import__("os").environ.get("EMD_TPU_SSIM", "band")
+# SSIM blur formulation: "vmap" (default) = the vmapped 1-D convolve,
+# MEASURED at 8.3 ms fwd+bwd at 1080p on chip. "band" = the separable
+# blur as two dense banded matmuls (W_y @ img @ W_x^T, pure MXU; equal
+# to 3.7e-9 on CPU) — plausibly faster but NOT yet chip-measured at
+# 1080p, so it stays opt-in: the depthwise-conv form looked idiomatic
+# too and measured 42.4 ms (3/128 MXU channel utilization).
+SSIM_IMPL = __import__("os").environ.get("EMD_TPU_SSIM", "vmap")
 
 
 def _band_matrix(n: int, w: jax.Array) -> jax.Array:
